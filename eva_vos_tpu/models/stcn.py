@@ -1,0 +1,181 @@
+"""STCN space-time memory network (Flax, channel-last, bf16-friendly).
+
+Structural parity target: ``mivos/model/propagation/prop_net.py`` +
+``modules.py`` in the reference:
+
+* KeyEncoder      — torchvision ResNet-50 trunk cut at layer3
+                    (f16: 1024ch @1/16, f8: 512ch @1/8, f4: 256ch @1/4)
+* KeyProjection   — 1024 -> 64 3x3 conv (the memory "key")
+* key_comp        — 1024 -> 512 3x3 conv (the thin query value)
+* ValueEncoder    — mod_resnet ResNet-18 trunk (5-channel input:
+                    rgb + object mask + others-mask) fused with the key
+                    feature through a FeatureFusionBlock -> 512ch memory value
+* Decoder         — 1024 -> 512 compress ResBlock, two UpsampleBlocks
+                    (1/16 -> 1/8 -> 1/4), 1-channel pred conv, 4x bilinear
+
+The memory read itself (top-k affinity + readout) lives in
+``eva_vos_tpu.ops.memory_attention`` / ``eva_vos_tpu.kernels`` and is invoked
+by the propagation engine, not by this module — on TPU the engine owns the
+token-major memory bank layout and the networks stay stateless.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import ResBlock, UpsampleBlock, FeatureFusionBlock, KeyProjection
+from .resnet import ResNetTrunk
+from ..ops.resize import upsample2x, resize_bilinear, area_downsample
+from ..ops.memory_attention import full_softmax_affinity
+
+Dtype = Any
+
+
+class STCNFeatures(NamedTuple):
+    """Per-frame features produced by ``encode_key`` (all channel-last)."""
+
+    k16: jnp.ndarray        # [.., H/16, W/16, keydim]   memory/query key
+    f16_thin: jnp.ndarray   # [.., H/16, W/16, 512]      query value
+    f16: jnp.ndarray        # [.., H/16, W/16, 1024]
+    f8: jnp.ndarray         # [.., H/8,  W/8,  512]
+    f4: jnp.ndarray         # [.., H/4,  W/4,  256]
+
+
+class KeyEncoder(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame, train: bool = False):
+        f4, f8, f16 = ResNetTrunk(
+            arch="resnet50", num_stages=3, conv_bias=False, dtype=self.dtype,
+            name="trunk",
+        )(frame, train)
+        return f16, f8, f4
+
+
+class ValueEncoder(nn.Module):
+    """5-channel mod-ResNet18 trunk + fuser -> 512-channel memory value."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame, key_f16, mask, other_masks, train: bool = False):
+        x = jnp.concatenate(
+            [frame, mask[..., None], other_masks[..., None]], axis=-1
+        )
+        _, _, f = ResNetTrunk(
+            arch="resnet18", num_stages=3, conv_bias=True, dtype=self.dtype,
+            name="trunk",
+        )(x, train)
+        return FeatureFusionBlock(512, dtype=self.dtype, name="fuser")(f, key_f16)
+
+
+class Decoder(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, m16, f8, f4):
+        x = ResBlock(512, dtype=self.dtype, name="compress")(m16)
+        x = UpsampleBlock(512, 256, dtype=self.dtype, name="up_16_8")(f8, x)
+        x = UpsampleBlock(256, 256, dtype=self.dtype, name="up_8_4")(f4, x)
+        x = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="pred")(nn.relu(x))
+        x = upsample2x(upsample2x(x))  # 4x bilinear
+        return x
+
+
+class PropagationNetwork(nn.Module):
+    """Stateless STCN module bundle.
+
+    Methods mirror the reference API surface (``encode_key``,
+    ``encode_value``, ``decode_with_readout``, ``get_attention``); the
+    stateful memory-bank logic lives in ``eva_vos_tpu.engine``.
+    """
+
+    keydim: int = 64
+    top_k: int = 50
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.key_encoder = KeyEncoder(dtype=self.dtype)
+        self.value_encoder = ValueEncoder(dtype=self.dtype)
+        self.key_proj = KeyProjection(self.keydim, dtype=self.dtype)
+        self.decoder = Decoder(dtype=self.dtype)
+
+    def _key_comp(self, f16):
+        return nn.Conv(512, (3, 3), padding=1, dtype=self.dtype, name="key_comp")(f16)
+
+    def encode_key(self, frame) -> STCNFeatures:
+        """frame [..., H, W, 3] -> per-frame features (``prop_net.py:172-177``)."""
+        f16, f8, f4 = self.key_encoder(frame)
+        k16 = self.key_proj(f16)
+        f16_thin = self._key_comp(f16)
+        return STCNFeatures(k16=k16, f16_thin=f16_thin, f16=f16, f8=f8, f4=f4)
+
+    def encode_value(self, frame, kf16, masks):
+        """Memory value for one frame with K object masks.
+
+        frame [H, W, 3], kf16 [H/16, W/16, 1024], masks [K, H, W].
+        Returns [K, H/16, W/16, 512].  The "others" channel for object i is
+        the sum of the other objects' masks (``prop_net.py:153-170``).
+        """
+        k = masks.shape[0]
+        if k == 1:
+            others = jnp.zeros_like(masks)
+        else:
+            total = jnp.sum(masks, axis=0, keepdims=True)
+            others = total - masks
+        frames = jnp.broadcast_to(frame[None], (k, *frame.shape))
+        kf16s = jnp.broadcast_to(kf16[None], (k, *kf16.shape))
+        return self.value_encoder(frames, kf16s, masks, others)
+
+    def decode_with_readout(self, readout_value, qv16, qf8, qf4):
+        """[K, h, w, 512] memory readout + query features -> [K, H, W] probs."""
+        k = readout_value.shape[0]
+        qv = jnp.broadcast_to(qv16[None], (k, *qv16.shape))
+        m4 = jnp.concatenate([readout_value, qv], axis=-1)
+        f8 = jnp.broadcast_to(qf8[None], (k, *qf8.shape))
+        f4 = jnp.broadcast_to(qf4[None], (k, *qf4.shape))
+        logits = self.decoder(m4, f8, f4)  # [K, H, W, 1]
+        return nn.sigmoid(logits[..., 0])
+
+    def get_attention(self, mk16, pos_mask, neg_mask, qk16):
+        """Fusion attention maps (``prop_net.py:198-210``).
+
+        mk16 [h, w, keydim] key of the interacted frame,
+        pos/neg_mask [K, H, W] mask diffs, qk16 [h, w, keydim] query key.
+        Returns [K, H, W, 2].
+        """
+        h, w, _ = mk16.shape
+        H, W = pos_mask.shape[-2:]
+        mk = mk16.reshape(h * w, -1)
+        qk = qk16.reshape(h * w, -1)
+        # Reference softmaxes over the memory axis per query: W_aff [N=q, M=m]
+        w_aff = full_softmax_affinity(mk, qk)  # [hw_q, hw_m]
+
+        pos = area_downsample(pos_mask, H // h).reshape(pos_mask.shape[0], h * w)
+        neg = area_downsample(neg_mask, H // h).reshape(neg_mask.shape[0], h * w)
+        # reference: map = mask_vec [1, M] @ W [M, N] -> per query
+        pos_map = pos.astype(jnp.float32) @ w_aff.T  # [K, hw_q]
+        neg_map = neg.astype(jnp.float32) @ w_aff.T
+        attn = jnp.stack([pos_map, neg_map], axis=-1).reshape(-1, h, w, 2)
+        return resize_bilinear(attn.astype(self.dtype), (H, W))
+
+    def __call__(self, frame):
+        """Default apply: encode a frame (used for initialization)."""
+        return self.encode_key(frame)
+
+    def init_all(self, frame, masks):
+        """Touch every submodule so ``module.init`` creates all params.
+
+        frame [H, W, 3], masks [K, H, W].
+        """
+        feats = self.encode_key(frame[None])
+        sq = STCNFeatures(*(f[0] for f in feats))
+        value = self.encode_value(frame, sq.f16, masks)
+        readout = jnp.zeros_like(value)
+        prob = self.decode_with_readout(readout, sq.f16_thin, sq.f8, sq.f4)
+        attn = self.get_attention(sq.k16, masks, masks, sq.k16)
+        return feats, value, prob, attn

@@ -1,0 +1,119 @@
+"""Space-time memory attention: top-k affinity softmax + value readout.
+
+This is the hot op of STCN propagation.  Parity target:
+``mivos/model/propagation/prop_net.py:46-115`` (``softmax_w_g_top`` +
+``EvalMemoryReader``): affinity between memory keys and query keys is the
+negative squared L2 distance scaled by 1/sqrt(CK); for every query position
+only the top-k (default 50) memory tokens participate in the softmax; the
+readout is the affinity-weighted sum of memory values.
+
+TPU-first design notes
+----------------------
+* Layout is token-major: memory keys ``[M, CK]``, query keys ``[N, CK]``,
+  memory values ``[M, CV]`` (the engine flattens [T, h, w] memory into M
+  tokens).  The big matmul ``qk @ mk.T`` maps straight onto the MXU.
+* The reference's affinity ``(-||m||^2 + 2 m.q - ||q||^2)/sqrt(CK)`` includes
+  a per-query constant ``-||q||^2`` that affects neither the top-k selection
+  (per-query ranking over memory) nor the softmax (shift invariance), so we
+  drop it and compute ``(2 m.q - ||m||^2)/sqrt(CK)``.  Readout is bit-for-bit
+  invariant to this simplification.
+* Scores accumulate in fp32 (``preferred_element_type``) even when keys are
+  bf16; the softmax itself is fp32.
+* Invalid memory slots (the engine keeps a fixed-size bank with a fill count
+  so interaction steps never re-trace) are masked to -inf before top-k.
+* Two readout strategies: ``gather`` (take top-k values then weighted-sum)
+  and ``scatter`` (densify the sparse softmax and use one big matmul).
+  ``gather`` wins for large M (it avoids materializing the [N, M] sparse
+  matrix); ``scatter`` can win when M is small.  Both are exact.
+
+A Pallas streaming kernel (block top-k merge over the memory axis, never
+materializing [N, M] in HBM) lives in ``eva_vos_tpu.kernels`` and is used
+when enabled; this module is the XLA reference implementation and the
+correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _scores(mk: jnp.ndarray, qk: jnp.ndarray, valid_tokens=None) -> jnp.ndarray:
+    """Affinity scores [N, M] in fp32 (memory axis last).
+
+    mk: [M, CK] memory keys; qk: [N, CK] query keys.
+    valid_tokens: optional scalar int — tokens >= valid_tokens are masked.
+    """
+    ck = mk.shape[-1]
+    dot = jax.lax.dot_general(
+        qk, mk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, M]
+    m_sq = jnp.sum(mk.astype(jnp.float32) ** 2, axis=-1)  # [M]
+    scores = (2.0 * dot - m_sq[None, :]) / math.sqrt(ck)
+    if valid_tokens is not None:
+        token_ids = jnp.arange(mk.shape[0])
+        scores = jnp.where(token_ids[None, :] < valid_tokens, scores, NEG_INF)
+    return scores
+
+
+def memory_affinity_topk(mk, qk, top_k: int, valid_tokens=None):
+    """Top-k memory tokens per query with softmax weights.
+
+    Returns (weights [N, top_k] fp32, indices [N, top_k] int32).
+    """
+    scores = _scores(mk, qk, valid_tokens)
+    vals, idx = jax.lax.top_k(scores, top_k)  # sorted descending
+    # exp(v - v_max) / sum — v_max is vals[:, 0] as in the reference.
+    w = jnp.exp(vals - vals[:, :1])
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return w, idx
+
+
+@partial(jax.jit, static_argnames=("top_k", "strategy"))
+def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None, strategy: str = "gather"):
+    """Full top-k attention readout.
+
+    mk: [M, CK] memory keys
+    qk: [N, CK] query keys
+    mv: [K, M, CV] memory values (K objects share one affinity)
+    Returns [K, N, CV] in mv.dtype.
+    """
+    w, idx = memory_affinity_topk(mk, qk, top_k, valid_tokens)
+    if strategy == "gather":
+        # [K, N, top_k, CV] gather then weighted sum over top_k.
+        gathered = mv[:, idx, :]  # [K, N, top_k, CV]
+        out = jnp.einsum(
+            "nk,bnkc->bnc", w.astype(jnp.float32), gathered.astype(jnp.float32)
+        )
+    elif strategy == "scatter":
+        n, m = qk.shape[0], mk.shape[0]
+        dense = jnp.zeros((n, m), dtype=jnp.float32).at[
+            jnp.arange(n)[:, None], idx
+        ].add(w)
+        out = jnp.einsum("nm,bmc->bnc", dense, mv.astype(jnp.float32))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return out.astype(mv.dtype)
+
+
+def full_softmax_affinity(mk, qk, valid_tokens=None):
+    """Dense softmax affinity over the memory axis: [N, M] fp32.
+
+    Used by the fusion attention path (reference ``AttentionMemory``,
+    ``prop_net.py:117-138``) where the memory is a single frame.  Note the
+    reference softmaxes over the *memory* axis (dim=1 of [B, THW, HW]) —
+    here that is axis 1 of the [N, M] transposed layout... careful: our
+    [N, M] has memory last, so we softmax over axis=-1 per query. The
+    reference's [THW, HW] matrix softmaxes per query column over THW — the
+    same thing.
+    """
+    scores = _scores(mk, qk, valid_tokens)
+    return jax.nn.softmax(scores, axis=-1)

@@ -1,0 +1,92 @@
+"""Memory attention vs. a direct numpy re-derivation of the reference math.
+
+The numpy oracle mirrors ``prop_net.py:46-115``: full (-a+b-c)/sqrt(CK)
+affinity including the per-query constant, torch-style top-k + scatter-back,
+then the bmm readout — verifying that dropping the per-query constant in the
+TPU op is output-invariant.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eva_vos_tpu.ops import memory_readout, memory_affinity_topk, full_softmax_affinity
+
+
+def numpy_reference_readout(mk, qk, mv, top_k):
+    """mk [M,CK], qk [N,CK], mv [K,M,CV] -> [K,N,CV] via the torch formula."""
+    ck = mk.shape[1]
+    a = (mk ** 2).sum(1)[:, None]          # [M, 1]
+    b = 2 * (mk @ qk.T)                    # [M, N]
+    c = (qk ** 2).sum(1)[None, :]          # [1, N]
+    affinity = (-a + b - c) / np.sqrt(ck)  # [M, N] — memory axis first, like THWxHW
+
+    out = np.zeros((mv.shape[0], qk.shape[0], mv.shape[2]), dtype=np.float64)
+    for n in range(qk.shape[0]):
+        col = affinity[:, n]
+        top_idx = np.argsort(-col, kind="stable")[:top_k]
+        vals = col[top_idx]
+        e = np.exp(vals - vals[0])
+        w = e / e.sum()
+        for k in range(mv.shape[0]):
+            out[k, n] = (w[:, None] * mv[k, top_idx]).sum(0)
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["gather", "scatter"])
+@pytest.mark.parametrize("m,n,ck,cv,top_k", [(64, 32, 16, 24, 8), (200, 50, 64, 32, 50)])
+def test_matches_numpy_oracle(rng, strategy, m, n, ck, cv, top_k):
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    qk = rng.standard_normal((n, ck)).astype(np.float32)
+    mv = rng.standard_normal((2, m, cv)).astype(np.float32)
+
+    expected = numpy_reference_readout(mk.astype(np.float64), qk.astype(np.float64),
+                                       mv.astype(np.float64), top_k)
+    out = memory_readout(jnp.asarray(mk), jnp.asarray(qk), jnp.asarray(mv),
+                         top_k=top_k, strategy=strategy)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-5)
+
+
+def test_valid_tokens_masking(rng):
+    """Tokens beyond valid_tokens must never be selected."""
+    m, n, ck = 40, 8, 8
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    qk = rng.standard_normal((n, ck)).astype(np.float32)
+    # Make the tail tokens extremely attractive; masking must exclude them.
+    mk[30:] = qk[0] * 10
+    w, idx = memory_affinity_topk(jnp.asarray(mk), jnp.asarray(qk), top_k=5,
+                                  valid_tokens=30)
+    assert np.asarray(idx).max() < 30
+    np.testing.assert_allclose(np.asarray(w.sum(1)), 1.0, rtol=1e-5)
+
+
+def test_masked_equals_sliced(rng):
+    """Masked fixed-size bank == computing on the valid slice only."""
+    m, valid, n, ck, cv, top_k = 64, 37, 16, 8, 12, 9
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    qk = rng.standard_normal((n, ck)).astype(np.float32)
+    mv = rng.standard_normal((1, m, cv)).astype(np.float32)
+
+    masked = memory_readout(jnp.asarray(mk), jnp.asarray(qk), jnp.asarray(mv),
+                            top_k=top_k, valid_tokens=valid)
+    sliced = memory_readout(jnp.asarray(mk[:valid]), jnp.asarray(qk),
+                            jnp.asarray(mv[:, :valid]), top_k=top_k)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(sliced), rtol=1e-5, atol=1e-6)
+
+
+def test_full_softmax_affinity(rng):
+    m, n, ck = 30, 10, 8
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    qk = rng.standard_normal((n, ck)).astype(np.float32)
+    aff = np.asarray(full_softmax_affinity(jnp.asarray(mk), jnp.asarray(qk)))
+    assert aff.shape == (n, m)
+    np.testing.assert_allclose(aff.sum(-1), 1.0, rtol=1e-5)
+
+    # against numpy including the per-query constant (softmax-invariant)
+    a = (mk ** 2).sum(1)[None, :]
+    b = 2 * (qk @ mk.T)
+    c = (qk ** 2).sum(1)[:, None]
+    scores = (-a + b - c) / np.sqrt(ck)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    expected = e / e.sum(-1, keepdims=True)
+    np.testing.assert_allclose(aff, expected, rtol=1e-4, atol=1e-6)
