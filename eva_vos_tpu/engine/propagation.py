@@ -134,7 +134,7 @@ class InferenceEngine:
         cfg = self.config
         n_transient = max(0, (t - 2)) // cfg.mem_freq + 1
         mmax = cfg.max_interactions + n_transient
-        cv = 512
+        cv = getattr(self.stcn, "value_dim", 512)
         prob = jnp.zeros((num_objects + 1, t, nh, nw), dtype=jnp.float32)
         prob = prob.at[0].set(1e-7)
         dtype = feats.k16.dtype

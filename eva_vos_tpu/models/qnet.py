@@ -64,6 +64,7 @@ class QualityNet(nn.Module):
             dim *= 2
         self.out_layer = nn.Dense(1 if self.n_labels == 2 else self.n_labels,
                                   dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
         self._feat_dim = dim
 
     def merge(self, rgb_out, mask_out):
@@ -79,7 +80,7 @@ class QualityNet(nn.Module):
     def __call__(self, x_rgb, x_mask, train: bool = False, rngs_dropout=None):
         """x_rgb/x_mask [B, 224, 224, 3] -> [B, n_labels] logits."""
         x = self.features(x_rgb, x_mask, train)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = self.drop(x, deterministic=not train)
         return self.out_layer(x)
 
     def extract_features(self, x_rgb, x_mask):

@@ -45,12 +45,13 @@ class STCNFeatures(NamedTuple):
 
 
 class KeyEncoder(nn.Module):
+    arch: str = "resnet50"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, frame, train: bool = False):
         f4, f8, f16 = ResNetTrunk(
-            arch="resnet50", num_stages=3, conv_bias=False, dtype=self.dtype,
+            arch=self.arch, num_stages=3, conv_bias=False, dtype=self.dtype,
             name="trunk",
         )(frame, train)
         return f16, f8, f4
@@ -59,6 +60,8 @@ class KeyEncoder(nn.Module):
 class ValueEncoder(nn.Module):
     """5-channel mod-ResNet18 trunk + fuser -> 512-channel memory value."""
 
+    arch: str = "resnet18"
+    value_dim: int = 512
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -67,10 +70,10 @@ class ValueEncoder(nn.Module):
             [frame, mask[..., None], other_masks[..., None]], axis=-1
         )
         _, _, f = ResNetTrunk(
-            arch="resnet18", num_stages=3, conv_bias=True, dtype=self.dtype,
+            arch=self.arch, num_stages=3, conv_bias=True, dtype=self.dtype,
             name="trunk",
         )(x, train)
-        return FeatureFusionBlock(512, dtype=self.dtype, name="fuser")(f, key_f16)
+        return FeatureFusionBlock(self.value_dim, dtype=self.dtype, name="fuser")(f, key_f16)
 
 
 class Decoder(nn.Module):
@@ -95,17 +98,23 @@ class PropagationNetwork(nn.Module):
     """
 
     keydim: int = 64
+    value_dim: int = 512
     top_k: int = 50
+    key_arch: str = "resnet50"
+    value_arch: str = "resnet18"
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.key_encoder = KeyEncoder(dtype=self.dtype)
-        self.value_encoder = ValueEncoder(dtype=self.dtype)
+        self.key_encoder = KeyEncoder(arch=self.key_arch, dtype=self.dtype)
+        self.value_encoder = ValueEncoder(arch=self.value_arch,
+                                          value_dim=self.value_dim, dtype=self.dtype)
         self.key_proj = KeyProjection(self.keydim, dtype=self.dtype)
         self.decoder = Decoder(dtype=self.dtype)
+        self.key_comp = nn.Conv(self.value_dim, (3, 3), padding=1,
+                                dtype=self.dtype, name="key_comp")
 
     def _key_comp(self, f16):
-        return nn.Conv(512, (3, 3), padding=1, dtype=self.dtype, name="key_comp")(f16)
+        return self.key_comp(f16)
 
     def encode_key(self, frame) -> STCNFeatures:
         """frame [..., H, W, 3] -> per-frame features (``prop_net.py:172-177``)."""
