@@ -1,0 +1,166 @@
+"""Per-video evaluation session and quality measurement.
+
+Behavior parity targets: ``interactions/eval.py`` in the reference —
+``initialize`` (frame-0 gt bootstrap, interaction-type bookkeeping) and
+``eval_processor_metric`` (argmax masks, interacted-frame overrides, the
+empty-gt token 20, per-frame J or J&F).
+
+The session wraps the functional :class:`InferenceEngine`; because the
+propagation state is an immutable pytree, "deep-copying the processor" for
+oracle lookahead (reference ``policies.py:91-118``) is free here.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from ..engine import InferenceEngine, PropagationState, VideoFeatures
+from ..engine.propagation import prepare_video, pad_mask
+from ..ops.metrics import compute_iou, get_j_and_f
+from ..utils.costs import ANNOTATION_COSTS
+
+EMPTY_GT_TOKEN = 20
+
+
+@dataclass
+class VideoSample:
+    """One (video, object) evaluation sample — reference ``AnnotationDataset``
+    emits exactly one object per sample, so K == 1 on the eval paths."""
+
+    name: str
+    images01: np.ndarray          # [T, H, W, 3] float in [0, 1]
+    gt: np.ndarray                # [K, T, H, W] uint8 one-hot
+    encoder_images: Optional[np.ndarray] = None  # for l2_mask baselines
+
+    @property
+    def num_frames(self) -> int:
+        return self.images01.shape[0]
+
+
+def _fresh_frame_record():
+    return {
+        "annotations": [],
+        "click_labels": None,
+        "click_coords": None,
+        "bbox": None,
+        "sam_logits": None,
+        "metric": 0,
+    }
+
+
+@dataclass
+class Session:
+    engine: InferenceEngine
+    feats: VideoFeatures
+    state: PropagationState
+    pad: tuple
+    sample: VideoSample
+    frame_interaction_type: np.ndarray          # 0 none / 1 gt mask / 2 SAM
+    frames_list: list = field(default_factory=lambda: [0])
+    mu_metrics: list = field(default_factory=list)
+    annotation_times: list = field(default_factory=lambda: [ANNOTATION_COSTS["mask"]])
+    masks_from_sam: dict = field(default_factory=dict)
+    pf_annots: list = field(default_factory=list)
+
+    @property
+    def num_frames(self) -> int:
+        return self.sample.num_frames
+
+    def gt_mask(self, idx: int) -> np.ndarray:
+        """[K, H, W] float ground truth for frame idx."""
+        return self.sample.gt[:, idx].astype(np.float32)
+
+    def interact(self, mask: np.ndarray, idx: int):
+        """mask [K, H, W] (unpadded) -> propagate; updates state in place."""
+        self.state = self.engine.interact(
+            self.state, self.feats, pad_mask(mask, self.pad), idx)
+
+    def clone(self) -> "Session":
+        """Cheap lookahead copy: shares features, copies bookkeeping; the
+        propagation state pytree is immutable so sharing it is safe."""
+        return Session(
+            engine=self.engine, feats=self.feats, state=self.state,
+            pad=self.pad, sample=self.sample,
+            frame_interaction_type=self.frame_interaction_type.copy(),
+            frames_list=list(self.frames_list),
+            mu_metrics=list(self.mu_metrics),
+            annotation_times=list(self.annotation_times),
+            masks_from_sam=dict(self.masks_from_sam),
+            pf_annots=copy.deepcopy(self.pf_annots),
+        )
+
+
+def initialize(engine: InferenceEngine, sample: VideoSample,
+               dtype=None) -> Session:
+    """Build the per-video session (reference ``eval.py:92-118``).
+
+    Bookkeeping marks frame 0 as mask-annotated, but the actual frame-0
+    interaction is performed by the policy loop's first round, exactly like
+    the reference.
+    """
+    images, pad = prepare_video(sample.images01,
+                                dtype=dtype or np.float32)
+    feats = engine.precompute_features(images)
+    state = engine.init_state(feats, sample.gt.shape[0])
+
+    t = sample.num_frames
+    session = Session(
+        engine=engine, feats=feats, state=state, pad=pad, sample=sample,
+        frame_interaction_type=np.zeros((t,)),
+        pf_annots=[_fresh_frame_record() for _ in range(t)],
+    )
+    session.frame_interaction_type[0] = 1
+    return session
+
+
+def eval_session_metric(session: Session, metric: str = "j"):
+    """Quality of every frame after the latest interaction.
+
+    Returns (mean quality over non-empty frames, gen_masks [T, H, W] float,
+    frame_quality, frame_quality_all) — the reference's
+    ``eval_processor_metric`` contract, including:
+    * interacted type-1 frames override the prediction with gt,
+    * type-2 frames override with the stored SAM mask,
+    * empty-gt frames contribute the token 20 to ``frame_quality_all`` only.
+    """
+    assert metric in {"j", "j_and_f"}
+    ids = session.engine.masks_from_prob(session.state.prob, session.pad)
+    gen_masks = (ids > 0).astype(np.float32)  # K == 1 on eval paths
+
+    frame_quality, frame_quality_all = [], []
+    interacted = set(session.frames_list)
+    gt_all = session.sample.gt[0]
+
+    for f in range(session.num_frames):
+        pred = gen_masks[f].astype(bool)
+        gt = gt_all[f].astype(bool)
+        if f in interacted and session.frame_interaction_type[f] == 1:
+            pred = gt.copy()
+            gen_masks[f] = gt
+        elif f in interacted and session.frame_interaction_type[f] == 2:
+            pred = np.asarray(session.masks_from_sam[f]).squeeze().astype(bool)
+            gen_masks[f] = pred
+
+        if gt.sum() == 0:
+            frame_quality_all.append(EMPTY_GT_TOKEN)
+            continue
+        if metric == "j":
+            q = compute_iou(pred[None], gt[None])
+        else:
+            q = get_j_and_f(gt[None], pred[None])
+        frame_quality.append(q)
+        frame_quality_all.append(q)
+
+    mu = float(np.mean(frame_quality)) if frame_quality else float("nan")
+    return mu, gen_masks, frame_quality, frame_quality_all
+
+
+def not_avail_frames(ious, interacted_frames, num_frames) -> bool:
+    """True when every frame is either interacted or has an empty gt."""
+    empty = set(np.where(np.asarray(ious) == EMPTY_GT_TOKEN)[0].tolist())
+    blocked = empty | set(interacted_frames)
+    return len(set(range(num_frames)) - blocked) == 0

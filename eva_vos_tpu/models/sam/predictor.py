@@ -1,0 +1,192 @@
+"""Predictor wrapper with the official ``SamPredictor`` contract, plus the
+reference's controller facade.
+
+Behavior parity targets:
+* official predictor semantics: longest-side resize to img_size, pixel
+  normalization, bottom-right padding, coordinate transforms, multimask
+  selection, low-res logit round-tripping, mask threshold 0.0;
+* ``sam/sam_controller.py`` in the reference: ``set_image`` embeds once,
+  ``reset_image``, ``predict(click_coords, click_labels, bbox, mask_input,
+  multimask_output)`` -> (masks [n, 1, H, W], scores, logits [n, 256, 256]).
+
+TPU notes: prompts are padded to ``max_points`` so every click count hits
+one compiled decode; the image encode is one jitted call on the fixed
+img_size square.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .build import Sam, SamConfig, PIXEL_MEAN, PIXEL_STD
+from .prompt_encoder import PAD_LABEL, NOT_A_POINT
+
+MASK_THRESHOLD = 0.0
+
+
+def get_preprocess_shape(oldh: int, oldw: int, long_side: int):
+    scale = long_side * 1.0 / max(oldh, oldw)
+    newh, neww = oldh * scale, oldw * scale
+    return int(newh + 0.5), int(neww + 0.5)
+
+
+class SamPredictor:
+    def __init__(self, sam: Sam, params, max_points: int = 64):
+        self.sam = sam
+        self.params = params
+        self.cfg: SamConfig = sam.config
+        self.max_points = max_points
+
+        self._encode = jax.jit(
+            lambda p, x: sam.apply(p, x, method="encode_image"))
+        self._decode = jax.jit(
+            lambda p, emb, c, l, m, hm: sam.apply(
+                p, emb, c, l, m, hm, method="decode"))
+        self._upscale = jax.jit(self._upscale_fn)
+
+        self.reset_image()
+
+    # ------------------------------------------------------------------
+    def reset_image(self):
+        self.features = None
+        self.original_size = None
+        self.input_size = None
+        self.is_image_set = False
+
+    def set_image(self, image: np.ndarray):
+        """image: uint8 RGB [H, W, 3]."""
+        assert image.ndim == 3 and image.shape[2] == 3
+        self.original_size = image.shape[:2]
+        newh, neww = get_preprocess_shape(*self.original_size, self.cfg.img_size)
+        self.input_size = (newh, neww)
+
+        x = jnp.asarray(image, jnp.float32)
+        x = jax.image.resize(x, (newh, neww, 3), method="bilinear")
+        x = (x - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
+        x = jnp.pad(x, ((0, self.cfg.img_size - newh),
+                        (0, self.cfg.img_size - neww), (0, 0)))
+        emb = self._encode(self.params, x[None].astype(self.sam.dtype))
+        self.features = emb[0]  # [S, S, 256]
+        self.is_image_set = True
+
+    def get_image_embedding(self) -> np.ndarray:
+        """[256, S, S] channel-first, mirroring the official API."""
+        assert self.is_image_set
+        return np.transpose(np.asarray(self.features, np.float32), (2, 0, 1))
+
+    # ------------------------------------------------------------------
+    def _transform_coords(self, coords):
+        oldh, oldw = self.original_size
+        newh, neww = self.input_size
+        c = np.asarray(coords, np.float32).copy()
+        c[..., 0] *= neww / oldw
+        c[..., 1] *= newh / oldh
+        return c
+
+    def _build_prompts(self, point_coords, point_labels, box):
+        coords = np.zeros((self.max_points, 2), np.float32)
+        labels = np.full((self.max_points,), PAD_LABEL, np.int32)
+        n = 0
+        if point_coords is not None:
+            pts = self._transform_coords(point_coords)
+            k = len(pts)
+            assert k + 3 <= self.max_points, (
+                f"too many prompt points ({k}) for max_points="
+                f"{self.max_points}")
+            coords[:k] = pts
+            labels[:k] = np.asarray(point_labels, np.int32)
+            n = k
+            if box is None:
+                # official pads points with one not-a-point when no box
+                labels[n] = NOT_A_POINT
+                n += 1
+        if box is not None:
+            b = self._transform_coords(np.asarray(box, np.float32)
+                                       .reshape(2, 2))
+            coords[n:n + 2] = b
+            labels[n:n + 2] = (2, 3)
+            n += 2
+        return coords, labels
+
+    def _upscale_fn(self, masks):
+        """low-res logits [n, S4, S4] -> img_size logits [n, I, I]."""
+        n = masks.shape[0]
+        return jax.image.resize(
+            masks, (n, self.cfg.img_size, self.cfg.img_size),
+            method="bilinear")
+
+    def postprocess_masks(self, low_res_masks):
+        """[n, low, low] logits -> [n, H, W] logits at the original size."""
+        up = self._upscale(low_res_masks)
+        up = up[:, :self.input_size[0], :self.input_size[1]]
+        out = jax.image.resize(
+            up, (up.shape[0], *self.original_size), method="bilinear")
+        return out
+
+    def predict(self, point_coords=None, point_labels=None, box=None,
+                mask_input=None, multimask_output: bool = True,
+                return_logits: bool = False):
+        """Returns (masks [n, H, W] bool, iou_predictions [n],
+        low_res_logits [n, low, low]) like the official predictor."""
+        assert self.is_image_set, "set_image must be called before predict"
+        coords, labels = self._build_prompts(point_coords, point_labels, box)
+
+        if mask_input is not None:
+            m = jnp.asarray(np.asarray(mask_input, np.float32).squeeze())
+            has_mask = True
+        else:
+            m = jnp.zeros((self.cfg.low_res, self.cfg.low_res), jnp.float32)
+            has_mask = False
+
+        all_masks, all_iou = self._decode(
+            self.params, self.features, jnp.asarray(coords),
+            jnp.asarray(labels), m.astype(self.sam.dtype),
+            jnp.asarray(has_mask))
+
+        if multimask_output:
+            sel = slice(1, None)
+        else:
+            sel = slice(0, 1)
+        low_res = np.asarray(all_masks[sel], np.float32)
+        iou = np.asarray(all_iou[sel], np.float32)
+
+        masks = np.asarray(self.postprocess_masks(jnp.asarray(low_res)))
+        if not return_logits:
+            masks = masks > MASK_THRESHOLD
+        return masks, iou, low_res
+
+
+class SAMController:
+    """Reference-API facade (``sam/sam_controller.py``) over the predictor."""
+
+    def __init__(self, predictor: SamPredictor, verbose: bool = False):
+        self.predictor = predictor
+        self.embedded = False
+        if verbose:
+            print("Initializing JAX SAM")
+
+    def set_image(self, image: np.ndarray):
+        if self.embedded:
+            print("repeat embedding, please reset_image.")
+            return
+        self.predictor.set_image(image)
+        self.embedded = True
+
+    def reset_image(self):
+        self.predictor.reset_image()
+        self.embedded = False
+
+    def get_image_embedding(self) -> np.ndarray:
+        return self.predictor.get_image_embedding()
+
+    def predict(self, click_coords=None, click_labels=None, bbox=None,
+                mask_input=None, multimask_output=True):
+        assert self.embedded, "prediction called before set_image"
+        masks, scores, logits = self.predictor.predict(
+            point_coords=click_coords, point_labels=click_labels, box=bbox,
+            mask_input=mask_input, multimask_output=multimask_output)
+        return masks[:, None], scores, logits  # [n, 1, H, W]

@@ -179,8 +179,12 @@ class PropagationNetwork(nn.Module):
     def init_all(self, frame, masks):
         """Touch every submodule so ``module.init`` creates all params.
 
-        frame [H, W, 3], masks [K, H, W].
+        frame [H, W, 3], masks [K, H, W].  H and W must be multiples of 16
+        (the engine always runs at padded geometry; initializing on an
+        unpadded frame would trace mismatched pyramid shapes).
         """
+        assert frame.shape[0] % 16 == 0 and frame.shape[1] % 16 == 0, (
+            f"init_all requires H, W multiples of 16, got {frame.shape[:2]}")
         feats = self.encode_key(frame[None])
         sq = STCNFeatures(*(f[0] for f in feats))
         value = self.encode_value(frame, sq.f16, masks)

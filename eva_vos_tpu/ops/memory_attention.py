@@ -64,13 +64,40 @@ def _scores(mk: jnp.ndarray, qk: jnp.ndarray, valid_tokens=None) -> jnp.ndarray:
     return scores
 
 
-def memory_affinity_topk(mk, qk, top_k: int, valid_tokens=None):
+def memory_affinity_topk(mk, qk, top_k: int, valid_tokens=None,
+                         chunk: int | None = None):
     """Top-k memory tokens per query with softmax weights.
+
+    ``chunk``: when set, the memory axis is processed in chunks of that many
+    tokens, taking a per-chunk top-k and merging — exact (ties resolve to
+    the lowest index either way, since concatenation preserves chunk order)
+    and avoids materializing sort state over the full [N, M] score matrix.
 
     Returns (weights [N, top_k] fp32, indices [N, top_k] int32).
     """
-    scores = _scores(mk, qk, valid_tokens)
-    vals, idx = jax.lax.top_k(scores, top_k)  # sorted descending
+    m = mk.shape[0]
+    if chunk is None or chunk >= m:
+        scores = _scores(mk, qk, valid_tokens)
+        vals, idx = jax.lax.top_k(scores, top_k)  # sorted descending
+    else:
+        n_chunks = (m + chunk - 1) // chunk
+        cand_vals, cand_idx = [], []
+        for c in range(n_chunks):
+            lo = c * chunk
+            hi = min(m, lo + chunk)
+            sub_valid = None
+            if valid_tokens is not None:
+                sub_valid = jnp.clip(valid_tokens - lo, 0, hi - lo)
+            s = _scores(mk[lo:hi], qk, sub_valid)
+            k_c = min(top_k, hi - lo)
+            v, i = jax.lax.top_k(s, k_c)
+            cand_vals.append(v)
+            cand_idx.append(i + lo)
+        vals_cat = jnp.concatenate(cand_vals, axis=1)
+        idx_cat = jnp.concatenate(cand_idx, axis=1)
+        vals, pos = jax.lax.top_k(vals_cat, top_k)
+        idx = jnp.take_along_axis(idx_cat, pos, axis=1)
+
     # exp(v - v_max) / sum — v_max is vals[:, 0] as in the reference.
     w = jnp.exp(vals - vals[:, :1])
     w = w / jnp.sum(w, axis=1, keepdims=True)

@@ -1,0 +1,224 @@
+"""End-to-end policy loop tests on synthetic videos with FakeSAM.
+
+These exercise the full L4 surface: session bootstrap, evaluation with
+interacted-frame overrides and the empty-gt token, every frame selector,
+and the multi-annotation loops (oracle/rand/eva_vos round skeletons).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eva_vos_tpu.models import PropagationNetwork, FusionNet, QualityNet, ActorCritic
+from eva_vos_tpu.engine import InferenceEngine
+from eva_vos_tpu.engine.propagation import EngineConfig
+from eva_vos_tpu.annotator import Annotator, FakeSAMController
+from eva_vos_tpu.data import synthetic_video
+from eva_vos_tpu.interactions import (
+    VideoSample, initialize, eval_session_metric, not_avail_frames,
+    EMPTY_GT_TOKEN, farthest_point_selection,
+    qnet_mask, rand_mask, oracle_mask, oracle_mask_dataset, upper_bound_mask,
+    l2_mask, ann_type_to_annotator_input, reward_func,
+    oracle_oracle, rand_type, rand_rand, eva_vos,
+)
+from eva_vos_tpu.utils import ANNOTATION_COSTS
+
+T, H, W = 5, 48, 64
+ROUNDS = 3
+
+
+@pytest.fixture(scope="module")
+def engine():
+    stcn = PropagationNetwork(key_arch="resnet18", value_arch="resnet18", top_k=8)
+    fusion = FusionNet()
+    sp = stcn.init(jax.random.PRNGKey(0), jnp.zeros((H, W, 3)),
+                   jnp.zeros((1, H, W)), method="init_all")
+    fp = fusion.init(jax.random.PRNGKey(1), jnp.zeros((H, W, 3)),
+                     jnp.zeros((H, W)), jnp.zeros((H, W)),
+                     jnp.zeros((H, W, 2)), jnp.zeros((2,)))
+    cfg = EngineConfig(mem_freq=2, top_k=8, max_interactions=8, feature_chunk=5)
+    return InferenceEngine(stcn, fusion, sp, fp, cfg)
+
+
+@pytest.fixture(scope="module")
+def sample():
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=11)
+    return VideoSample(name="synth__1", images01=images, gt=masks)
+
+
+@pytest.fixture(scope="module")
+def sample_with_empty_frame():
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=11)
+    masks = masks.copy()
+    masks[0, 2] = 0  # frame 2 has no object
+    return VideoSample(name="synth_empty__1", images01=images, gt=masks)
+
+
+@pytest.fixture(scope="module")
+def qnet_extract():
+    net = QualityNet(arch="resnet18", n_labels=20)
+    x = jnp.zeros((1, 224, 224, 3))
+    params = net.init(jax.random.PRNGKey(2), x, x)
+
+    @jax.jit
+    def extract(imgs, masks):
+        return net.apply(params, imgs, masks, method="extract_features")
+
+    return extract
+
+
+@pytest.fixture(scope="module")
+def rl_agent_act():
+    net = ActorCritic(out_dim=2, arch="resnet18", dropout=0.0)
+    emb = jnp.zeros((1, 64, 64, 256))
+    m = jnp.zeros((1, 224, 224, 3))
+    params = net.init(jax.random.PRNGKey(3), emb, m)
+
+    @jax.jit
+    def fwd(emb, mask):
+        return net.apply(params, emb, mask)
+
+    def act(emb, mask224):
+        logits, value = fwd(jnp.asarray(emb), jnp.asarray(mask224))
+        return int(jnp.argmax(logits)), float(value.squeeze())
+
+    return act
+
+
+@pytest.fixture
+def annotator():
+    return Annotator(FakeSAMController())
+
+
+class TestSessionEval:
+    def test_initialize_marks_frame0(self, engine, sample):
+        s = initialize(engine, sample)
+        assert s.frames_list == [0]
+        assert s.frame_interaction_type[0] == 1
+        assert s.annotation_times == [ANNOTATION_COSTS["mask"]]
+
+    def test_eval_overrides_interacted_with_gt(self, engine, sample):
+        s = initialize(engine, sample)
+        s.interact(s.gt_mask(0), 0)
+        mu, gen, fq, fq_all = eval_session_metric(s, "j")
+        assert len(fq_all) == T
+        assert fq_all[0] == pytest.approx(1.0, abs=1e-6)  # overridden with gt
+        np.testing.assert_array_equal(gen[0], sample.gt[0, 0])
+
+    def test_empty_gt_token(self, engine, sample_with_empty_frame):
+        s = initialize(engine, sample_with_empty_frame)
+        s.interact(s.gt_mask(0), 0)
+        mu, gen, fq, fq_all = eval_session_metric(s, "j")
+        assert fq_all[2] == EMPTY_GT_TOKEN
+        assert len(fq) == T - 1  # empty frame excluded from the mean
+
+    def test_not_avail_frames(self):
+        assert not_avail_frames([1.0, 20, 0.5], [0, 2], 3) is True
+        assert not_avail_frames([1.0, 0.3, 0.5], [0], 3) is False
+
+
+class TestMaskPolicies:
+    def test_oracle_mask(self, engine, sample):
+        mus, times = oracle_mask(ROUNDS, engine, sample, "j")
+        assert len(mus) == ROUNDS
+        assert len(times) == ROUNDS
+        assert times[0] == ANNOTATION_COSTS["mask"]
+        assert all(np.isfinite(mus))
+
+    def test_rand_mask_never_repeats_frames(self, engine, sample):
+        rng = np.random.default_rng(0)
+        mus, times = rand_mask(T - 1, engine, sample, "j", rng=rng)
+        assert len(mus) == T - 1
+
+    def test_qnet_mask(self, engine, sample, qnet_extract):
+        mus, times = qnet_mask(qnet_extract, ROUNDS, engine, sample, "j")
+        assert len(mus) == ROUNDS
+
+    def test_l2_mask(self, engine, sample):
+        def encoder(images01):
+            return images01.reshape(images01.shape[0], -1)[:, :32]
+
+        mus, times = l2_mask(encoder, ROUNDS, engine, sample, "j")
+        assert len(mus) == ROUNDS
+
+    def test_upper_bound_mask(self, engine, sample):
+        mus, times = upper_bound_mask(2, engine, sample, "j")
+        assert len(mus) == 2
+        # lookahead-selected round must not lower the mean quality much:
+        # with a shared prefix this is a sanity property, not strict theory
+        assert mus[1] >= mus[0] - 0.2
+
+    def test_oracle_mask_dataset_records_rounds(self, engine, sample):
+        gen_per_round, frames, metric_list, times = oracle_mask_dataset(
+            ROUNDS, engine, sample, "j")
+        assert len(gen_per_round) == ROUNDS
+        assert len(frames) == ROUNDS
+        assert gen_per_round[0].shape == (T, H, W)
+        assert all(len(m) == T for m in metric_list)
+
+    def test_empty_frame_costs_3s(self, engine, sample_with_empty_frame):
+        # oracle picks the empty frame once everything else is annotated;
+        # its annotation must be recorded at the no-object cost.
+        mus, times = oracle_mask(T - 1, engine, sample_with_empty_frame, "j")
+        assert ANNOTATION_COSTS["no_object"] in times or \
+            all(t == ANNOTATION_COSTS["mask"] for t in times)
+
+
+class TestTypeGrammar:
+    def test_parse(self):
+        assert ann_type_to_annotator_input("click") == ("click", 1)
+        assert ann_type_to_annotator_input("7clicks") == ("click", 7)
+        assert ann_type_to_annotator_input("bbox") == ("bbox", 1)
+        assert ann_type_to_annotator_input("mask") == ("mask", 1)
+        with pytest.raises(AttributeError):
+            ann_type_to_annotator_input("scribble")
+
+    def test_reward(self):
+        assert reward_func(0.9, 4.5, 0.4) == pytest.approx(0.5 / 4.5)
+
+
+class TestMultiPolicies:
+    def test_oracle_oracle(self, engine, sample, annotator):
+        mus, times, actions, round_metrics, frames = oracle_oracle(
+            ROUNDS, engine, sample, annotator,
+            annotation_types=["3clicks", "mask"], eval_metric="j")
+        assert len(mus) == ROUNDS
+        assert actions[0] == "mask"
+        assert len(frames) == ROUNDS
+        assert all(a in {"3clicks", "mask"} for a in actions)
+
+    def test_rand_type(self, engine, sample, annotator):
+        rng = np.random.default_rng(1)
+        mus, times, actions = rand_type(ROUNDS, engine, sample, annotator,
+                                        "3clicks", "j", rng=rng)
+        assert actions[0] == "mask" and set(actions[1:]) <= {"3clicks"}
+        # 3 clicks cost 4.5 s + 1 s overhead (plus warm-start clicks)
+        assert all(t >= ANNOTATION_COSTS["3clicks"] for t in times[1:])
+
+    def test_rand_rand(self, engine, sample, annotator):
+        rng = np.random.default_rng(2)
+        mus, times, actions = rand_rand(ROUNDS, engine, sample, annotator,
+                                        ["3clicks", "mask"], "j", rng=rng)
+        assert len(actions) == ROUNDS
+
+    def test_eva_vos(self, engine, sample, annotator, qnet_extract, rl_agent_act):
+        mus, times, rl_values, actions, round_metrics, frames = eva_vos(
+            qnet_extract, rl_agent_act, ROUNDS, engine, sample, annotator,
+            eval_metric="j")
+        assert len(mus) == ROUNDS
+        assert rl_values[0] == -2          # reference sentinel for round 1
+        assert len(rl_values) == ROUNDS
+        assert actions[0] == "mask"
+        assert len(frames) == ROUNDS
+
+
+class TestFarthestPoint:
+    def test_prefers_farthest(self):
+        feats = np.array([[0.0], [1.0], [10.0], [2.0]], dtype=np.float32)
+        assert farthest_point_selection(feats, [0]) == 2
+
+    def test_interacted_distance_zero(self):
+        feats = np.array([[0.0], [5.0], [9.0]], dtype=np.float32)
+        # 2 interacted -> its min distance is 0; frame 1 is farthest from both
+        assert farthest_point_selection(feats, [0, 2]) == 1

@@ -47,6 +47,29 @@ def test_matches_numpy_oracle(rng, strategy, m, n, ck, cv, top_k):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("chunk", [16, 64, 100])
+def test_chunked_matches_full(rng, chunk):
+    m, n, ck, top_k = 200, 24, 8, 13
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    w_full, i_full = memory_affinity_topk(mk, qk, top_k)
+    w_ch, i_ch = memory_affinity_topk(mk, qk, top_k, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(i_full), np.asarray(i_ch))
+    np.testing.assert_allclose(np.asarray(w_full), np.asarray(w_ch),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_chunked_with_valid_tokens(rng):
+    m, n, ck, top_k = 96, 8, 8, 7
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    w_full, i_full = memory_affinity_topk(mk, qk, top_k, valid_tokens=50)
+    w_ch, i_ch = memory_affinity_topk(mk, qk, top_k, valid_tokens=50, chunk=32)
+    np.testing.assert_array_equal(np.asarray(i_full), np.asarray(i_ch))
+    np.testing.assert_allclose(np.asarray(w_full), np.asarray(w_ch),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_valid_tokens_masking(rng):
     """Tokens beyond valid_tokens must never be selected."""
     m, n, ck = 40, 8, 8

@@ -1,0 +1,140 @@
+"""SAM stack tests on the tiny preset (no checkpoints needed)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eva_vos_tpu.models.sam import build_sam, SamPredictor, SAMController
+from eva_vos_tpu.models.sam.image_encoder import (
+    window_partition, window_unpartition, get_rel_pos)
+from eva_vos_tpu.models.sam.prompt_encoder import PAD_LABEL
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    return build_sam("tiny")
+
+
+@pytest.fixture(scope="module")
+def predictor(tiny_sam):
+    sam, params = tiny_sam
+    return SamPredictor(sam, params, max_points=16)
+
+
+class TestWindowing:
+    def test_roundtrip_exact(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)).astype(np.float32))
+        wins, padded = window_partition(x, 4)
+        assert wins.shape == (2 * 2 * 3, 4, 4, 5)
+        back = window_unpartition(wins, 4, padded, (8, 12))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_roundtrip_with_padding(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 7, 10, 3)).astype(np.float32))
+        wins, padded = window_partition(x, 4)
+        assert padded == (8, 12)
+        back = window_unpartition(wins, 4, padded, (7, 10))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_get_rel_pos_exact_size(self, rng):
+        rp = jnp.asarray(rng.standard_normal((7, 4)).astype(np.float32))  # 2*4-1
+        out = get_rel_pos(4, 4, rp)
+        assert out.shape == (4, 4, 4)
+        # relative offset 0 sits at index k_size-1 = 3
+        np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(rp[3]))
+        np.testing.assert_allclose(np.asarray(out[3, 0]), np.asarray(rp[6]))
+
+
+class TestEncoderShapes:
+    def test_image_encoder_output(self, tiny_sam):
+        sam, params = tiny_sam
+        x = jnp.zeros((1, 128, 128, 3))
+        emb = sam.apply(params, x, method="encode_image")
+        assert emb.shape == (1, 8, 8, 32)
+
+    def test_decode_output(self, tiny_sam):
+        sam, params = tiny_sam
+        emb = jnp.zeros((8, 8, 32))
+        coords = jnp.zeros((8, 2))
+        labels = jnp.full((8,), PAD_LABEL, jnp.int32)
+        mask_in = jnp.zeros((32, 32))
+        masks, iou = sam.apply(params, emb, coords, labels, mask_in, False,
+                               method="decode")
+        assert masks.shape == (4, 32, 32)
+        assert iou.shape == (4,)
+
+
+class TestPaddingInvariance:
+    def test_extra_pad_slots_do_not_change_output(self, tiny_sam):
+        """The fixed-shape prompt design must be exact: adding more padding
+        slots cannot change the decoded masks."""
+        sam, params = tiny_sam
+        emb = jnp.asarray(
+            np.random.default_rng(0).standard_normal((8, 8, 32)), jnp.float32)
+        mask_in = jnp.zeros((32, 32))
+
+        def run(n_slots):
+            coords = np.zeros((n_slots, 2), np.float32)
+            labels = np.full((n_slots,), PAD_LABEL, np.int32)
+            coords[0] = (40, 60)
+            labels[0] = 1
+            labels[1] = -1  # official pad token
+            m, i = sam.apply(params, emb, jnp.asarray(coords),
+                             jnp.asarray(labels), mask_in, False,
+                             method="decode")
+            return np.asarray(m), np.asarray(i)
+
+        m8, i8 = run(8)
+        m16, i16 = run(16)
+        np.testing.assert_allclose(m8, m16, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(i8, i16, rtol=2e-5, atol=2e-5)
+
+
+class TestPredictor:
+    def test_set_image_and_predict(self, predictor, rng):
+        img = (rng.uniform(0, 1, (96, 120, 3)) * 255).astype(np.uint8)
+        predictor.set_image(img)
+        assert predictor.input_size == (102, 128)
+
+        masks, iou, logits = predictor.predict(
+            point_coords=np.array([[60, 48]]), point_labels=np.array([1]))
+        assert masks.shape == (3, 96, 120) and masks.dtype == bool
+        assert iou.shape == (3,)
+        assert logits.shape == (3, 32, 32)
+
+    def test_single_mask_output(self, predictor, rng):
+        img = (rng.uniform(0, 1, (64, 64, 3)) * 255).astype(np.uint8)
+        predictor.set_image(img)
+        masks, iou, logits = predictor.predict(
+            point_coords=np.array([[32, 32]]), point_labels=np.array([1]),
+            multimask_output=False)
+        assert masks.shape == (1, 64, 64)
+
+    def test_box_and_mask_input(self, predictor, rng):
+        img = (rng.uniform(0, 1, (64, 64, 3)) * 255).astype(np.uint8)
+        predictor.set_image(img)
+        m1, _, logits = predictor.predict(box=np.array([10, 10, 50, 50]))
+        m2, _, _ = predictor.predict(
+            point_coords=np.array([[30, 30]]), point_labels=np.array([1]),
+            mask_input=logits[:1])
+        assert m2.shape == (3, 64, 64)
+
+    def test_embedding_shape(self, predictor, rng):
+        img = (rng.uniform(0, 1, (64, 64, 3)) * 255).astype(np.uint8)
+        predictor.set_image(img)
+        emb = predictor.get_image_embedding()
+        assert emb.shape == (32, 8, 8)  # channel-first, official layout
+
+
+class TestController:
+    def test_reference_api(self, tiny_sam, rng):
+        sam, params = tiny_sam
+        ctrl = SAMController(SamPredictor(sam, params, max_points=16))
+        img = (rng.uniform(0, 1, (80, 100, 3)) * 255).astype(np.uint8)
+        ctrl.set_image(img)
+        masks, scores, logits = ctrl.predict(
+            click_coords=np.array([[50, 40]]), click_labels=np.array([1]))
+        assert masks.shape == (3, 1, 80, 100)
+        ctrl.reset_image()
+        assert not ctrl.embedded

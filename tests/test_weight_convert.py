@@ -1,0 +1,135 @@
+"""Weight-conversion validation.
+
+Two layers of assurance without any real checkpoints:
+1. numeric: each tensor transform (conv / linear / conv-transpose / BN)
+   reproduces torch's op outputs through the corresponding flax layer;
+2. structural: synthesis mode fabricates a torch state dict from a freshly
+   initialized flax template and the converter must rebuild the template's
+   exact tree (every model in the zoo, tiny SAM included).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from eva_vos_tpu.utils.weight_convert import (
+    conv_kernel, linear_kernel, conv_transpose_kernel,
+    convert_stcn, convert_fusion, convert_qnet, convert_actor_critic,
+    convert_sam, Converter, check_tree_matches)
+
+torch = pytest.importorskip("torch")
+
+
+class TestTensorTransforms:
+    def test_conv(self, rng):
+        w = rng.standard_normal((6, 3, 3, 3)).astype(np.float32)  # OIHW
+        b = rng.standard_normal(6).astype(np.float32)
+        x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+
+        ref = torch.nn.functional.conv2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+            torch.from_numpy(b), padding=1).numpy().transpose(0, 2, 3, 1)
+
+        mod = nn.Conv(6, (3, 3), padding=1)
+        params = {"params": {"kernel": jnp.asarray(conv_kernel(w)),
+                             "bias": jnp.asarray(b)}}
+        out = np.asarray(mod.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_linear(self, rng):
+        w = rng.standard_normal((5, 7)).astype(np.float32)
+        b = rng.standard_normal(5).astype(np.float32)
+        x = rng.standard_normal((2, 7)).astype(np.float32)
+        ref = x @ w.T + b
+        mod = nn.Dense(5)
+        params = {"params": {"kernel": jnp.asarray(linear_kernel(w)),
+                             "bias": jnp.asarray(b)}}
+        np.testing.assert_allclose(np.asarray(mod.apply(params, x)), ref,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_conv_transpose(self, rng):
+        w = rng.standard_normal((4, 6, 2, 2)).astype(np.float32)  # in,out,k,k
+        b = rng.standard_normal(6).astype(np.float32)
+        x = rng.standard_normal((1, 5, 5, 4)).astype(np.float32)
+
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+            torch.from_numpy(b), stride=2).numpy().transpose(0, 2, 3, 1)
+
+        mod = nn.ConvTranspose(6, (2, 2), strides=(2, 2))
+        params = {"params": {"kernel": jnp.asarray(conv_transpose_kernel(w)),
+                             "bias": jnp.asarray(b)}}
+        out = np.asarray(mod.apply(params, jnp.asarray(x)))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_batchnorm_running_stats(self, rng):
+        c = 8
+        weight = rng.standard_normal(c).astype(np.float32)
+        bias = rng.standard_normal(c).astype(np.float32)
+        mean = rng.standard_normal(c).astype(np.float32)
+        var = rng.uniform(0.5, 2.0, c).astype(np.float32)
+        x = rng.standard_normal((2, 4, 4, c)).astype(np.float32)
+
+        tbn = torch.nn.BatchNorm2d(c).eval()
+        tbn.weight.data = torch.from_numpy(weight)
+        tbn.bias.data = torch.from_numpy(bias)
+        tbn.running_mean = torch.from_numpy(mean)
+        tbn.running_var = torch.from_numpy(var)
+        ref = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                  ).detach().numpy().transpose(0, 2, 3, 1)
+
+        mod = nn.BatchNorm(use_running_average=True, epsilon=1e-5)
+        variables = {"params": {"scale": jnp.asarray(weight),
+                                "bias": jnp.asarray(bias)},
+                     "batch_stats": {"mean": jnp.asarray(mean),
+                                     "var": jnp.asarray(var)}}
+        out = np.asarray(mod.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestStructuralRoundtrip:
+    """Synthesis mode must rebuild each template tree exactly."""
+
+    def _roundtrip(self, template, convert_fn, **kw):
+        converted = convert_fn(None, template=template, **kw)
+        problems = check_tree_matches(template, converted, "params")
+        if "batch_stats" in template:
+            problems += check_tree_matches(template, converted, "batch_stats")
+        assert not problems, "\n".join(problems[:20])
+
+    def test_stcn(self):
+        from eva_vos_tpu.models import PropagationNetwork
+        net = PropagationNetwork()  # production archs: resnet50 + resnet18
+        template = net.init(jax.random.PRNGKey(0), jnp.zeros((32, 32, 3)),
+                            jnp.zeros((1, 32, 32)), method="init_all")
+        self._roundtrip(template, convert_stcn)
+
+    def test_fusion(self):
+        from eva_vos_tpu.models import FusionNet
+        net = FusionNet()
+        template = net.init(jax.random.PRNGKey(0), jnp.zeros((16, 16, 3)),
+                            jnp.zeros((16, 16)), jnp.zeros((16, 16)),
+                            jnp.zeros((16, 16, 2)), jnp.zeros((2,)))
+        self._roundtrip(template, convert_fusion)
+
+    def test_qnet(self):
+        from eva_vos_tpu.models import QualityNet
+        net = QualityNet(arch="resnet18")
+        x = jnp.zeros((1, 64, 64, 3))
+        template = net.init(jax.random.PRNGKey(0), x, x)
+        self._roundtrip(template, convert_qnet, arch="resnet18")
+
+    def test_actor_critic(self):
+        from eva_vos_tpu.models import ActorCritic
+        net = ActorCritic(out_dim=2, arch="resnet18")
+        template = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 256)),
+                            jnp.zeros((1, 64, 64, 3)))
+        self._roundtrip(template, convert_actor_critic, arch="resnet18")
+
+    def test_sam_tiny(self):
+        from eva_vos_tpu.models.sam import build_sam
+        sam, template = build_sam("tiny")
+        self._roundtrip(template, convert_sam, depth=2)
