@@ -44,6 +44,39 @@ def binary_jaccard(pred, gt) -> float:
     return float(inter / union)
 
 
+def compute_multi_class_iou_idx(seg, gt, smooth: float = 1e-6) -> float:
+    """seg [H, W] predicted object ids (0 = bg); gt [K, H, W] one-hot.
+
+    Mean smoothed IoU over the K object classes (reference
+    ``tensor_util.py:41-50``).
+    """
+    seg = np.asarray(seg)
+    gt = np.asarray(gt)
+    k = gt.shape[0]
+    total = 0.0
+    for ki in range(k):
+        pred = seg == (ki + 1)
+        g = gt[ki] > 0.5
+        inter = np.logical_and(pred, g).sum()
+        union = np.logical_or(pred, g).sum()
+        total += (inter + smooth) / (union + smooth)
+    return float((total + smooth) / (k + smooth))
+
+
+def compute_multi_class_iou_both_idx(seg, gt, smooth: float = 1e-6) -> float:
+    """Both inputs are [H, W] object-id maps (reference
+    ``tensor_util.py:52-59``)."""
+    seg = np.asarray(seg)
+    gt = np.asarray(gt)
+    k = int(gt.max())
+    total = 0.0
+    for ki in range(1, k + 1):
+        inter = np.logical_and(seg == ki, gt == ki).sum()
+        union = np.logical_or(seg == ki, gt == ki).sum()
+        total += (inter + smooth) / (union + smooth)
+    return float((total + smooth) / (k + smooth))
+
+
 def jnp_iou(pred, gt, smooth: float = SMOOTH):
     """jit-friendly smoothed IoU over the last two axes."""
     pred = pred.astype(bool)

@@ -1,0 +1,162 @@
+"""Data-pipeline integration: generators -> datasets -> trainers.
+
+Chains the FQ-dataset generator (oracle rounds on synthetic videos) into
+MaskQualityDB and one QNet train step, and the annotation-dataset generator
+into AnnotTypeDB — the full reference data flow without any downloads.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import jax
+import pytest
+
+from eva_vos_tpu.data.datasets import (MaskQualityDB, AnnotTypeDB,
+                                       AnnotationDataset, IOU_BINS)
+
+
+class TestIoUBinning:
+    def test_bins_match_reference_discretization(self):
+        db = MaskQualityDB.__new__(MaskQualityDB)  # no files needed
+        assert MaskQualityDB.iou_to_label(0.0) == 0
+        assert MaskQualityDB.iou_to_label(0.04) == 0
+        assert MaskQualityDB.iou_to_label(0.05) == 0  # boundary -> lower bin
+        assert MaskQualityDB.iou_to_label(0.051) == 1
+        assert MaskQualityDB.iou_to_label(1.0) == 19
+        with pytest.raises(ValueError):
+            MaskQualityDB.iou_to_label(1.5)
+
+    def test_bins_array(self):
+        assert len(IOU_BINS) == 21
+        np.testing.assert_allclose(IOU_BINS[1] - IOU_BINS[0], 0.05)
+
+
+@pytest.fixture(scope="module")
+def fq_db_dir(tmp_path_factory):
+    """Run the FQ generator on synthetic videos into a temp dir."""
+    out = tmp_path_factory.mktemp("fq_db")
+    from eva_vos_tpu.cli.generate_fq_dataset import main
+
+    main(["--synthetic", "2", "--rounds", "2", "--imset", "train",
+          "--allow-random", "--out", str(out)])
+    return out
+
+
+class TestFQPipeline:
+    def test_generator_output_layout(self, fq_db_dir):
+        assert (fq_db_dir / "res_train.csv").exists()
+        states = list((fq_db_dir / "Annotations" / "224").iterdir())
+        assert len(states) >= 1
+        frames = list((fq_db_dir / "RGBFrames" / "224").iterdir())
+        assert len(frames) == 2  # one dir per video
+
+    def test_mask_quality_db_loads(self, fq_db_dir):
+        db = MaskQualityDB(fq_db_dir, fq_db_dir / "res_train.csv")
+        assert len(db) > 0
+        item = db[0]
+        assert item["img"].shape == (224, 224, 3)
+        assert item["mask"].shape == (224, 224)
+        assert 0 <= item["label"] < 20
+
+    def test_batches_and_train_step(self, fq_db_dir):
+        from eva_vos_tpu.train import QNetTrainer
+        from eva_vos_tpu.parallel import make_mesh
+
+        db = MaskQualityDB(fq_db_dir, fq_db_dir / "res_train.csv")
+        rng = np.random.default_rng(0)
+        # batch of 8 divides the 8-device mesh
+        batch = next(db.batches(8, rng=rng, drop_last=False)) \
+            if len(db) >= 8 else None
+        if batch is None:
+            items = [db[i % len(db)] for i in range(8)]
+            batch = {
+                "img": np.stack([it["img"] for it in items]),
+                "mask": np.stack([it["mask"] for it in items]),
+                "label": np.asarray([it["label"] for it in items], np.int32),
+            }
+        trainer = QNetTrainer(arch="resnet18", lr=1e-3, mesh=make_mesh(8))
+        state = trainer.init(jax.random.PRNGKey(0), image_size=224)
+        state, metrics = trainer.train_step(state, batch,
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.fixture(scope="module")
+def annot_db_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("annot_db")
+    from eva_vos_tpu.cli.generate_annotation_dataset import main
+
+    main(["--synthetic", "1", "--rounds", "3", "--imset", "train",
+          "--sam", "fake", "--allow-random", "--out", str(out)])
+    return out
+
+
+class TestAnnotPipeline:
+    def test_generator_output(self, annot_db_dir):
+        import pandas as pd
+
+        csv = annot_db_dir / "train.csv"
+        assert csv.exists()
+        df = pd.read_csv(csv)
+        assert {"id", "video_name", "frame_num", "frame_cost",
+                "selected_annotation", "init_iou"} <= set(df.columns)
+        assert len(df) >= 1
+        row = df.iloc[0]
+        assert (annot_db_dir / "Images" / f"{row['id']}.png").exists()
+        assert (annot_db_dir / "Masks" / f"{row['id']}.png").exists()
+        emb = np.load(annot_db_dir / "SAM_Embeddings" / f"{row['id']}.npy")
+        assert emb.shape == (256, 64, 64)
+
+
+class TestAnnotationDataset:
+    def test_davis_layout_roundtrip(self, tmp_path):
+        """Write a minimal DAVIS-style tree and read it back."""
+        from PIL import Image
+        from eva_vos_tpu.data import synthetic_video
+
+        root = tmp_path / "DAVIS_17"
+        images, masks = synthetic_video(3, 32, 48, num_objects=2, seed=1)
+        vid = "videoA"
+        (root / "JPEGImages" / "480p" / vid).mkdir(parents=True)
+        (root / "Annotations" / "480p" / vid).mkdir(parents=True)
+        for f in range(3):
+            Image.fromarray((images[f] * 255).astype(np.uint8)).save(
+                root / "JPEGImages" / "480p" / vid / f"{f:05d}.jpg")
+            palette = (masks[0, f] * 1 + masks[1, f] * 2).astype(np.uint8)
+            Image.fromarray(palette, mode="P").save(
+                root / "Annotations" / "480p" / vid / f"{f:05d}.png")
+        imset = root / "ImageSets" / "set.txt"
+        imset.parent.mkdir(parents=True)
+        imset.write_text(f"{vid}\n")
+
+        ds = AnnotationDataset(root, imset)
+        assert len(ds) == 2  # one sample per object
+        s0 = ds[0]
+        assert s0.name == "videoA__1"
+        assert s0.images01.shape == (3, 32, 48, 3)
+        assert s0.gt.shape == (1, 3, 32, 48)
+        # jpeg artifacts aside, images round-trip approximately
+        assert abs(float(s0.images01.mean()) - float(images.mean())) < 0.05
+
+    def test_min_max_idx_slicing(self, tmp_path):
+        from PIL import Image
+        from eva_vos_tpu.data import synthetic_video
+
+        root = tmp_path / "db"
+        images, masks = synthetic_video(2, 16, 16, num_objects=3, seed=2)
+        vid = "v"
+        (root / "JPEGImages" / "480p" / vid).mkdir(parents=True)
+        (root / "Annotations" / "480p" / vid).mkdir(parents=True)
+        for f in range(2):
+            Image.fromarray((images[f] * 255).astype(np.uint8)).save(
+                root / "JPEGImages" / "480p" / vid / f"{f:05d}.jpg")
+            palette = sum((masks[k, f] * (k + 1) for k in range(3))).astype(np.uint8)
+            Image.fromarray(palette, mode="P").save(
+                root / "Annotations" / "480p" / vid / f"{f:05d}.png")
+        imset = root / "set.txt"
+        imset.write_text("v\n")
+
+        ds = AnnotationDataset(root, imset, min_idx=1, max_idx=1)
+        assert len(ds) == 1
+        assert ds[0].name == "v__2"
