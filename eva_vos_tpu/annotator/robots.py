@@ -10,30 +10,36 @@ outputs are numpy; click coordinates are (x, y) pairs, labels 1=positive,
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy import ndimage
 
 from ..ops.masks import masks_to_boxes
+from .. import native
 
 _EIGHT_CONN = np.ones((3, 3), dtype=int)
 
+_USE_NATIVE = os.environ.get("EVAVOS_NATIVE", "1") != "0" and native.available()
 
-def _largest_component(mask: np.ndarray):
-    """Returns (component_mask, size) of the largest connected component,
-    or (None, 0) when the mask is empty.  8-connectivity, like the
-    reference's ``skimage.measure.label(connectivity=2)``."""
+
+def _largest_component_click(mask: np.ndarray):
+    """Center click (x, y) and size of the largest 8-connected component,
+    or (None, 0) when empty.  Native C++ union-find when available (one
+    fused pass), scipy.ndimage otherwise — identical outputs."""
+    if _USE_NATIVE:
+        out = native.largest_component_center(mask)
+        if out is None:
+            return None, 0
+        cx, cy, size = out
+        return (cx, cy), size
     labels, num = ndimage.label(mask, structure=_EIGHT_CONN)
     if num == 0:
         return None, 0
     sizes = np.bincount(labels.ravel())[1:]
     biggest = int(np.argmax(sizes)) + 1
-    return labels == biggest, int(sizes.max())
-
-
-def _component_center_click(component: np.ndarray):
-    ys, xs = np.nonzero(component)
-    cy, cx = float(np.mean(ys)), float(np.mean(xs))
-    return int(cx), int(cy)
+    ys, xs = np.nonzero(labels == biggest)
+    return (int(np.mean(xs)), int(np.mean(ys))), int(sizes.max())
 
 
 def _snap_to_mask(click_xy, mask: np.ndarray):
@@ -42,6 +48,10 @@ def _snap_to_mask(click_xy, mask: np.ndarray):
     x, y = click_xy
     if mask[y, x]:
         return x, y
+    if _USE_NATIVE:
+        out = native.nearest_true(mask, x, y)
+        if out is not None:
+            return out
     ys, xs = np.nonzero(mask)
     d = (xs - x) ** 2 + (ys - y) ** 2
     i = int(np.argmin(d))
@@ -65,16 +75,15 @@ class ClickRobot:
 
         candidates = []  # (size, click_xy, label)
 
-        fp_comp, fp_size = _largest_component(pred & ~gt)
-        if fp_comp is not None:
-            candidates.append((fp_size, _component_center_click(fp_comp), 0))
+        fp_click, fp_size = _largest_component_click(pred & ~gt)
+        if fp_click is not None:
+            candidates.append((fp_size, fp_click, 0))
 
         fn_click = None
-        fn_comp, fn_size = _largest_component(~pred & gt)
-        if fn_comp is not None:
-            click = _snap_to_mask(_component_center_click(fn_comp), gt)
-            fn_click = click
-            candidates.append((fn_size, click, 1))
+        raw_fn, fn_size = _largest_component_click(~pred & gt)
+        if raw_fn is not None:
+            fn_click = _snap_to_mask(raw_fn, gt)
+            candidates.append((fn_size, fn_click, 1))
 
         if not candidates:
             return self.middle_click(gt_mask)
@@ -125,7 +134,8 @@ class ClickRobot:
             comp_sizes = np.bincount(comp_labels.ravel())[1:]
             for ci in np.argsort(-comp_sizes):
                 comp = comp_labels == ci + 1
-                clicks.append(_component_center_click(comp))
+                ys, xs = np.nonzero(comp)
+                clicks.append((int(np.mean(xs)), int(np.mean(ys))))
                 labels.append(lab)
                 sizes.append(int(comp_sizes[ci]))
 

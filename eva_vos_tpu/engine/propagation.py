@@ -68,6 +68,8 @@ class EngineConfig(NamedTuple):
     top_k: int = 50
     max_interactions: int = 64
     feature_chunk: int = 4      # frames per encode_key step during precompute
+    readout_strategy: str = "scatter"  # 'scatter' rides the MXU; 'gather'
+    #                                    row-gathers (slow on TPU)
 
 
 class InferenceEngine:
@@ -162,7 +164,8 @@ class InferenceEngine:
 
         top_k = min(cfg.top_k, mmax * hw)
         readout = memory_readout(
-            mk, qk, mv, top_k=top_k, valid_tokens=front * hw
+            mk, qk, mv, top_k=top_k, valid_tokens=front * hw,
+            strategy=cfg.readout_strategy,
         )  # [K, hw, CV]
 
         h16, w16 = feats.f16_thin.shape[1:3]
