@@ -20,6 +20,7 @@ import numpy as np
 import jax
 
 from ..utils.paths import DataPaths
+from ..utils.config import apply_yaml_config
 from ..utils.seeding import seed_everything
 from ..utils.logging import MetricsLogger
 from ..utils.checkpoint import save_checkpoint
@@ -42,7 +43,7 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    args = apply_yaml_config(build_parser(), argv)
     seed_everything()
     rng = np.random.default_rng(29102910)
 

@@ -131,6 +131,43 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None, strategy: str
     return out.astype(mv.dtype)
 
 
+def memory_affinity_topk_gauss(mk, qk, top_k: int, query_hw, sigma: float,
+                               valid_tokens=None):
+    """Top-k affinity with gaussian locality (the reference's kernelized
+    memory, ``prop_net.py:33-44, 46-51, 92-99``; ``km`` is None on every
+    entry-point path, provided for API parity).
+
+    Each memory token gets a gaussian prior centered at its best-matching
+    query position; the per-query exp-scores are weighted by that prior
+    BEFORE the top-k selection.
+
+    query_hw: (h, w) of the query grid — queries are its row-major cells.
+    Returns (weights [N, top_k] fp32, indices [N, top_k] int32).
+    """
+    h, w = query_hw
+    scores = _scores(mk, qk, valid_tokens)          # [N, M]
+    maxes = jnp.max(scores, axis=1, keepdims=True)  # per-query max (memory axis)
+    x_exp = jnp.exp(scores - maxes)
+
+    # best query per memory token -> gaussian center.  NOTE: this argmax runs
+    # over the QUERY axis, where the per-query -||q||^2 term is NOT constant,
+    # so it must be restored here (it still cancels in the softmax above).
+    ck = mk.shape[-1]
+    q_sq = jnp.sum(qk.astype(jnp.float32) ** 2, axis=-1) / math.sqrt(ck)
+    best_q = jnp.argmax(scores - q_sq[:, None], axis=0)  # [M]
+    cy = (best_q // w).astype(jnp.float32)
+    cx = (best_q % w).astype(jnp.float32)
+    qy = (jnp.arange(h * w) // w).astype(jnp.float32)
+    qx = (jnp.arange(h * w) % w).astype(jnp.float32)
+    g = jnp.exp(-((qy[:, None] - cy[None, :]) ** 2
+                  + (qx[:, None] - cx[None, :]) ** 2) / (2.0 * sigma ** 2))
+
+    weighted = x_exp * g                            # [N, M]
+    vals, idx = jax.lax.top_k(weighted, top_k)
+    wsum = jnp.sum(vals, axis=1, keepdims=True)
+    return vals / wsum, idx
+
+
 def full_softmax_affinity(mk, qk, valid_tokens=None):
     """Dense softmax affinity over the memory axis: [N, M] fp32.
 

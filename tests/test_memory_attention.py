@@ -97,6 +97,43 @@ def test_masked_equals_sliced(rng):
     np.testing.assert_allclose(np.asarray(masked), np.asarray(sliced), rtol=1e-5, atol=1e-6)
 
 
+def test_gaussian_locality_matches_reference_formula(rng):
+    """Numpy oracle of softmax_w_g_top with gauss (prop_net.py:46-57)."""
+    from eva_vos_tpu.ops.memory_attention import memory_affinity_topk_gauss
+
+    h, w, ck, top_k, sigma = 4, 6, 8, 5, 2.0
+    n = h * w
+    m = 2 * n
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    qk = rng.standard_normal((n, ck)).astype(np.float32)
+
+    # oracle: full torch formula including the per-query constant
+    a = (mk ** 2).sum(1)[:, None]
+    b = 2 * (mk @ qk.T)
+    c = (qk ** 2).sum(1)[None, :]
+    aff = ((-a + b - c) / np.sqrt(ck))            # [M, N]
+    best_q = np.argmax(aff, axis=1)                # per memory token
+    cy, cx = best_q // w, best_q % w
+    qy, qx = np.arange(n) // w, np.arange(n) % w
+    g = np.exp(-((qy[None, :] - cy[:, None]) ** 2
+                 + (qx[None, :] - cx[:, None]) ** 2) / (2 * sigma ** 2))
+    x_exp = np.exp(aff - aff.max(0, keepdims=True)) * g  # [M, N]
+    expected_w = np.zeros((n, top_k))
+    expected_i = np.zeros((n, top_k), int)
+    for q in range(n):
+        col = x_exp[:, q]
+        top = np.argsort(-col, kind="stable")[:top_k]
+        vals = col[top]
+        expected_w[q] = vals / vals.sum()
+        expected_i[q] = top
+
+    got_w, got_i = memory_affinity_topk_gauss(
+        jnp.asarray(mk), jnp.asarray(qk), top_k, (h, w), sigma)
+    np.testing.assert_array_equal(np.asarray(got_i), expected_i)
+    np.testing.assert_allclose(np.asarray(got_w), expected_w,
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_full_softmax_affinity(rng):
     m, n, ck = 30, 10, 8
     mk = rng.standard_normal((m, ck)).astype(np.float32)
