@@ -46,6 +46,11 @@ class SamPredictor:
         self._decode = jax.jit(
             lambda p, emb, c, l, m, hm: sam.apply(
                 p, emb, c, l, m, hm, method="decode"))
+        self._decode_batch = jax.jit(
+            lambda p, emb, c, l, m, hm: jax.vmap(
+                lambda e_, c_, l_, m_, hm_: sam.apply(
+                    p, e_, c_, l_, m_, hm_, method="decode"),
+            )(emb, c, l, m, hm))
         self._upscale = jax.jit(self._upscale_fn)
 
         self.reset_image()
@@ -158,6 +163,70 @@ class SamPredictor:
         if not return_logits:
             masks = masks > MASK_THRESHOLD
         return masks, iou, low_res
+
+
+    # ------------------------------------------------------------------
+    # batched paths (vectorized PPO envs)
+    # ------------------------------------------------------------------
+    def encode_images(self, images) -> jnp.ndarray:
+        """Batch-encode N uint8 RGB images (each resized/padded to the SAM
+        square) -> features [N, S, S, 256].  All images must share one
+        (H, W) so the batch has a single preprocess geometry."""
+        sizes = {im.shape[:2] for im in images}
+        assert len(sizes) == 1, "batched encode requires equal image sizes"
+        oldh, oldw = next(iter(sizes))
+        newh, neww = get_preprocess_shape(oldh, oldw, self.cfg.img_size)
+
+        batch = jnp.asarray(np.stack(images), jnp.float32)
+        batch = jax.image.resize(batch, (len(images), newh, neww, 3),
+                                 method="bilinear")
+        batch = (batch - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
+        batch = jnp.pad(batch, ((0, 0), (0, self.cfg.img_size - newh),
+                                (0, self.cfg.img_size - neww), (0, 0)))
+        return self._encode(self.params, batch.astype(self.sam.dtype))
+
+    def predict_batch(self, features, original_size, prompts,
+                      multimask_output: bool = True):
+        """Decode N prompt sets against N precomputed features in ONE
+        compiled call (vmapped over the batch).
+
+        features: [N, S, S, 256]; prompts: list of dicts with optional
+        point_coords/point_labels/box/mask_input, in original pixel space.
+        Returns per-item (masks [n, H, W] bool, iou [n], low_res [n, l, l]).
+        """
+        self.original_size = original_size
+        self.input_size = get_preprocess_shape(*original_size,
+                                               self.cfg.img_size)
+        coords, labels, mask_ins, has_masks = [], [], [], []
+        for pr in prompts:
+            c, l = self._build_prompts(pr.get("point_coords"),
+                                       pr.get("point_labels"),
+                                       pr.get("box"))
+            coords.append(c)
+            labels.append(l)
+            mi = pr.get("mask_input")
+            if mi is not None:
+                mask_ins.append(np.asarray(mi, np.float32).squeeze())
+                has_masks.append(True)
+            else:
+                mask_ins.append(np.zeros((self.cfg.low_res, self.cfg.low_res),
+                                         np.float32))
+                has_masks.append(False)
+
+        all_masks, all_iou = self._decode_batch(
+            self.params, features, jnp.asarray(np.stack(coords)),
+            jnp.asarray(np.stack(labels)),
+            jnp.asarray(np.stack(mask_ins)).astype(self.sam.dtype),
+            jnp.asarray(has_masks))
+
+        sel = slice(1, None) if multimask_output else slice(0, 1)
+        out = []
+        for i in range(len(prompts)):
+            low_res = np.asarray(all_masks[i, sel], np.float32)
+            iou = np.asarray(all_iou[i, sel], np.float32)
+            masks = np.asarray(self.postprocess_masks(jnp.asarray(low_res)))
+            out.append((masks > MASK_THRESHOLD, iou, low_res))
+        return out
 
 
 class SAMController:

@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.memory_attention import NEG_INF
 
@@ -85,6 +85,6 @@ def sharded_memory_readout(mk, qk, mv, top_k: int, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(axis, None), P(None, None), P(None, axis, None)),
         out_specs=P(None, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(mk, qk, mv).astype(mv.dtype)

@@ -76,3 +76,55 @@ def rollout(ppo_trainer, sam_controller, image, gt_mask, init_mask, env_num,
         advantages=ep_adv,
     )
     return steps
+
+
+def batched_rollouts(ppo_trainer, sam, images, gt_masks, init_masks, storage,
+                     num_steps, gamma, advantages: str, rng):
+    """Run ``len(images)`` episodes in lockstep through the vectorized env
+    (one batched SAM encode + one vmapped decode per step) and fill the
+    rollout storage.  Matches the sequential ``rollout`` semantics env-wise.
+    """
+    from .vector_env import VectorizedAnnotationEnvs
+
+    n = len(images)
+    envs = VectorizedAnnotationEnvs(sam, images, gt_masks, init_masks,
+                                    num_steps)
+    traj = [dict(masks=[], actions=[], rewards=[], log_probs=[], values=[])
+            for _ in range(n)]
+    alive = np.ones(n, bool)
+
+    for _ in range(num_steps):
+        embs, masks224 = envs.states()
+        actions, log_probs, values = ppo_trainer.act_batch(embs, masks224)
+        rewards, dones = envs.step(np.where(alive, actions, 2))
+        for e in range(n):
+            if not alive[e]:
+                continue
+            traj[e]["masks"].append(masks224[e])
+            traj[e]["actions"].append(int(actions[e]))
+            traj[e]["rewards"].append(float(rewards[e]))
+            traj[e]["log_probs"].append(float(log_probs[e]))
+            traj[e]["values"].append(float(values[e]))
+        alive &= ~dones
+        if not alive.any():
+            break
+
+    embs, _ = envs.states()
+    for e in range(n):
+        t = traj[e]
+        steps = len(t["actions"])
+        returns = compute_returns(t["rewards"], gamma)
+        if advantages == "diff":
+            adv = returns - np.asarray(t["values"], np.float32)
+        elif advantages == "gae":
+            adv = calculate_gaes(t["rewards"], t["values"])
+        else:
+            raise AttributeError("Invalid adv type")
+        storage.insert(
+            e, masks=np.stack(t["masks"]), img_embedding=embs[e],
+            actions=np.asarray(t["actions"], np.int32),
+            log_probs=np.asarray(t["log_probs"], np.float32),
+            values=np.asarray(t["values"], np.float32),
+            rewards=np.asarray(t["rewards"], np.float32),
+            returns=returns, paddings=np.zeros(steps, bool), advantages=adv)
+    return envs

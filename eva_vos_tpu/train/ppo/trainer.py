@@ -76,6 +76,18 @@ class PPOTrainer:
         log_prob = jax.nn.log_softmax(logits[0])[action]
         return int(action), float(log_prob), float(value.squeeze())
 
+    def act_batch(self, x_imgs, x_masks):
+        """Vectorized act over N envs: one forward, N categorical samples.
+        Returns (actions [N], log_probs [N], values [N]) as numpy."""
+        logits, values = self._fwd(self.state, jnp.asarray(x_imgs),
+                                   jnp.asarray(x_masks))
+        self._act_key, sub = jax.random.split(self._act_key)
+        actions = jax.random.categorical(sub, logits, axis=-1)
+        lp = jnp.take_along_axis(jax.nn.log_softmax(logits),
+                                 actions[:, None], axis=1)[:, 0]
+        return (np.asarray(actions), np.asarray(lp),
+                np.asarray(values[:, 0]))
+
     # ------------------------------------------------------------------
     def _update_impl(self, state: PPOTrainState, batch, dropout_rng):
         def loss_fn(params):
