@@ -61,6 +61,11 @@ def build_parser():
     p.add_argument("--synthetic", type=int, default=0,
                    help="run on N synthetic videos instead of a dataset")
     p.add_argument("--out-dir", default="./Experiments")
+    p.add_argument("--resume", action="store_true",
+                   help="skip videos already present in the output CSV and "
+                        "append (per-video restart safety for long runs)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -184,9 +189,28 @@ def main(argv=None):
     if args.policy in {"oracle_oracle", "rand_type", "rand_rand", "eva_vos"}:
         results["annotation_actions"] = []
 
+    out_dir = os.path.join(args.out_dir, args.db)
+    csv_path = os.path.join(out_dir, f"{pstr}.csv")
+    done_videos = set()
+    if args.resume and os.path.exists(csv_path):
+        import pandas as pd
+
+        prev = pd.read_csv(csv_path)
+        done_videos = set(prev["video"].unique())
+        for col in results:
+            if col in prev.columns:
+                results[col] = prev[col].tolist()
+        print(f"[resume] {len(done_videos)} videos already done")
+
+    from ..utils.profiling import device_trace
+
     t0 = time.time()
     n_videos = 0
+    trace_ctx = device_trace(args.profile_dir)
+    trace_ctx.__enter__()
     for sample in iter_samples(args):
+        if sample.name in done_videos:
+            continue
         out = dispatch(args, models, sample, rng)
         if args.policy == "eva_vos":
             mus, times, rl_values, actions, round_metrics, frames = out
@@ -213,16 +237,21 @@ def main(argv=None):
         print(f"[{pstr}] {sample.name}: rounds={len(mus)} "
               f"final={mus[-1] if mus else float('nan'):.4f} "
               f"({time.time() - t0:.1f}s)")
+        if args.resume:  # incremental flush for restart safety
+            import pandas as pd
+
+            os.makedirs(out_dir, exist_ok=True)
+            pd.DataFrame.from_dict(results).to_csv(csv_path, index=False)
+
+    trace_ctx.__exit__(None, None, None)
 
     import pandas as pd
 
-    out_dir = os.path.join(args.out_dir, args.db)
     os.makedirs(out_dir, exist_ok=True)
     df = pd.DataFrame.from_dict(results)
-    path = os.path.join(out_dir, f"{pstr}.csv")
-    df.to_csv(path, index=False)
-    print(f"[done] {n_videos} videos -> {path}")
-    return path
+    df.to_csv(csv_path, index=False)
+    print(f"[done] {n_videos} videos -> {csv_path}")
+    return csv_path
 
 
 if __name__ == "__main__":

@@ -70,6 +70,11 @@ class EngineConfig(NamedTuple):
     feature_chunk: int = 4      # frames per encode_key step during precompute
     readout_strategy: str = "scatter"  # 'scatter' rides the MXU; 'gather'
     #                                    row-gathers (slow on TPU)
+    block_frames: bool = True   # batch the mem_freq frames between memory
+    #                             admissions (bank is constant there, so
+    #                             their segmentations are independent —
+    #                             bit-identical results, 1/mem_freq the
+    #                             sequential steps, mem_freq x conv batch)
 
 
 class InferenceEngine:
@@ -270,6 +275,130 @@ class InferenceEngine:
         )
         return state._replace(prob=prob, bank_k=bank_k, bank_v=bank_v)
 
+    # ------------------------------------------------------------------
+    # block-parallel pass: the TPU-first restructuring of do_pass.
+    # ------------------------------------------------------------------
+    def _segment_frames_batched(self, feats, bank_k, bank_v, front, tis):
+        """Batched segmentation of ``B`` frames against one (frozen) bank.
+
+        tis [B] frame indices (pre-clamped).  Returns [B, K, nh, nw] probs.
+        """
+        cfg = self.config
+        mmax, hw, ck = bank_k.shape
+        k_obj = bank_v.shape[1]
+        cv = bank_v.shape[-1]
+        b = tis.shape[0]
+
+        qk = feats.k16[tis].reshape(b * hw, ck)       # one big query set
+        mk = bank_k.reshape(mmax * hw, ck)
+        mv = jnp.transpose(bank_v, (1, 0, 2, 3)).reshape(k_obj, mmax * hw, cv)
+
+        top_k = min(cfg.top_k, mmax * hw)
+        readout = memory_readout(
+            mk, qk, mv, top_k=top_k, valid_tokens=front * hw,
+            strategy=cfg.readout_strategy,
+        )  # [K, B*hw, CV]
+
+        h16, w16 = feats.f16_thin.shape[1:3]
+        readout = readout.reshape(k_obj, b, h16, w16, cv).transpose(1, 0, 2, 3, 4)
+
+        def decode_one(ro, thin, f8, f4):
+            return self.stcn.apply(self.stcn_params, ro, thin, f8, f4,
+                                   method="decode_with_readout")
+
+        return jax.vmap(decode_one)(
+            readout, feats.f16_thin[tis], feats.f8[tis], feats.f4[tis])
+
+    def _fuse_frames_batched(self, feats, prev, curr, key_k16, pos_diff,
+                             neg_diff, tc, tr, tis):
+        """Batched fusion: prev/curr [B, K+1, nh, nw] -> fused [B, K+1, ...]."""
+        h16, w16 = feats.f16_thin.shape[1:3]
+        b = tis.shape[0]
+
+        def attn_one(ti):
+            return self.stcn.apply(
+                self.stcn_params, key_k16, pos_diff, neg_diff,
+                feats.k16[ti].reshape(h16, w16, -1), method="get_attention")
+
+        attn = jax.vmap(attn_one)(tis)  # [B, K, nh, nw, 2]
+
+        def fuse_one(ti, prev_f, curr_f, attn_f):
+            return self._fuse_frame(feats, prev_f, curr_f, attn_f, tc, tr, ti)
+
+        return jax.vmap(fuse_one)(tis, prev, curr, attn)
+
+    def _do_pass_blocked(self, feats, state: PropagationState, key_k16,
+                         pos_diff, neg_diff, idx, closest_ti, forward: bool):
+        """Block-parallel pass: frames between memory admissions share a
+        frozen bank, so each ``mem_freq``-sized block is segmented in one
+        batched step.  Produces the same results as the sequential pass
+        (``inference_core.py:126-191``): within a block the bank is frozen
+        exactly as in the per-frame walk, admissions happen at
+        ``last_ti + mem_freq``, never at the pass's end frame."""
+        cfg = self.config
+        bsz = cfg.mem_freq
+        t = feats.k16.shape[0]
+        prob, bank_k, bank_v = state.prob, state.bank_k, state.bank_v
+        cc = state.certain_count
+
+        needs_fusion = jnp.logical_and(closest_ti != t, closest_ti != -1)
+        n_steps = jnp.where(forward, closest_ti - idx - 1, idx - closest_ti - 1)
+        n_steps = jnp.maximum(n_steps, 0)
+        n_blocks = (n_steps + bsz - 1) // bsz
+        end = jnp.where(forward, closest_ti - 1, closest_ti + 1)
+
+        def body(bi, carry):
+            prob, bank_k, bank_v, front = carry
+            offs = jnp.arange(bsz)
+            steps = bi * bsz + offs                       # 0-based step ids
+            tis = jnp.where(forward, idx + 1 + steps, idx - 1 - steps)
+            active = steps < n_steps
+            tis_safe = jnp.clip(jnp.where(active, tis, idx), 0, t - 1)
+
+            out = self._segment_frames_batched(feats, bank_k, bank_v, front,
+                                               tis_safe)
+            out = jax.vmap(lambda p: aggregate_wbg(p.astype(jnp.float32),
+                                                   keep_bg=True))(out)
+
+            # memory admission: only the block's last frame is mem_freq away
+            # from the previous admission; never admit the end frame.
+            do_store = jnp.logical_and(active[bsz - 1], tis[bsz - 1] != end)
+
+            def store(args):
+                bank_k, bank_v, front = args
+                ti_s = tis_safe[bsz - 1]
+                val = self._encode_value(
+                    feats, ti_s, out[bsz - 1, 1:].astype(bank_v.dtype))
+                bank_k = jax.lax.dynamic_update_index_in_dim(
+                    bank_k, feats.k16[ti_s], front, 0)
+                bank_v = jax.lax.dynamic_update_index_in_dim(
+                    bank_v, val, front, 0)
+                return bank_k, bank_v, front + 1
+
+            bank_k, bank_v, front = jax.lax.cond(
+                do_store, store, lambda a: a, (bank_k, bank_v, front))
+
+            prev = jnp.moveaxis(prob[:, tis_safe], 1, 0)  # [B, K+1, nh, nw]
+
+            new_cols = jax.lax.cond(
+                needs_fusion,
+                lambda _: self._fuse_frames_batched(
+                    feats, prev, out, key_k16, pos_diff, neg_diff,
+                    closest_ti, idx, tis_safe),
+                lambda _: out, None)
+
+            for j in range(bsz):
+                cur = jax.lax.dynamic_index_in_dim(prob, tis_safe[j], axis=1,
+                                                   keepdims=False)
+                val = jnp.where(active[j], new_cols[j], cur)
+                prob = jax.lax.dynamic_update_index_in_dim(
+                    prob, val, tis_safe[j], 1)
+            return prob, bank_k, bank_v, front
+
+        prob, bank_k, bank_v, _ = jax.lax.fori_loop(
+            0, n_blocks, body, (prob, bank_k, bank_v, cc))
+        return state._replace(prob=prob, bank_k=bank_k, bank_v=bank_v)
+
     def _interact(self, state: PropagationState, feats: VideoFeatures,
                   mask, idx):
         """mask [K, nh, nw] float one-hot object masks; idx traced int."""
@@ -307,10 +436,13 @@ class InferenceEngine:
         )
 
         key_k16 = key_tokens.reshape(h16, w16, -1)
-        state = self._do_pass(feats, state, key_k16, pos_diff, neg_diff,
-                              idx, fwd_closest, forward=True)
-        state = self._do_pass(feats, state, key_k16, pos_diff, neg_diff,
-                              idx, bwd_closest, forward=False)
+        do_pass = (self._do_pass_blocked
+                   if self.config.block_frames and self.config.mem_freq > 1
+                   else self._do_pass)
+        state = do_pass(feats, state, key_k16, pos_diff, neg_diff,
+                        idx, fwd_closest, forward=True)
+        state = do_pass(feats, state, key_k16, pos_diff, neg_diff,
+                        idx, bwd_closest, forward=False)
         return state
 
     def interact(self, state: PropagationState, feats: VideoFeatures,

@@ -23,7 +23,7 @@ MEM_FREQ = 2
 TOP_K = 8
 
 
-def build(k_objects):
+def build(k_objects, block_frames=False):
     stcn = PropagationNetwork(key_arch="resnet18", value_arch="resnet18",
                               top_k=TOP_K)
     fusion = FusionNet()
@@ -33,7 +33,7 @@ def build(k_objects):
     fp = fusion.init(jax.random.PRNGKey(1), frame, masks[0], masks[0],
                      jnp.zeros((H, W, 2)), jnp.zeros((2,)))
     cfg = EngineConfig(mem_freq=MEM_FREQ, top_k=TOP_K, max_interactions=4,
-                       feature_chunk=2)
+                       feature_chunk=2, block_frames=block_frames)
     return stcn, fusion, sp, fp, cfg
 
 
@@ -123,9 +123,10 @@ class Oracle:
                     self.prob[:, ti] = out
 
 
-@pytest.mark.parametrize("k_objects", [1, 2])
-def test_engine_matches_oracle(k_objects):
-    stcn, fusion, sp, fp, cfg = build(k_objects)
+@pytest.mark.parametrize("k_objects,block_frames",
+                         [(1, False), (2, False), (1, True), (2, True)])
+def test_engine_matches_oracle(k_objects, block_frames):
+    stcn, fusion, sp, fp, cfg = build(k_objects, block_frames)
     images, masks = synthetic_video(T, H, W, num_objects=k_objects, seed=3)
     padded, pad = prepare_video(images)
     assert pad == (0, 0, 0, 0)
