@@ -55,13 +55,24 @@ class QualityNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        assert self.merge_strategy in {"add", "cat"}
+        assert self.merge_strategy in {"add", "cat", "attn"}
         assert self.arch in {"small", "resnet18", "resnet50", "resnet101"}
         self.rgb_branch = CNNBranch(arch=self.arch, dtype=self.dtype)
         self.mask_branch = CNNBranch(arch=self.arch, dtype=self.dtype)
         dim = _BRANCH_DIMS[self.arch]
         if self.merge_strategy == "cat":
             dim *= 2
+        elif self.merge_strategy == "attn":
+            # single-head attention with mask features querying rgb features
+            # (reference qnet.py:25-30, modules.py:143-150)
+            self.query_proj = nn.Dense(_BRANCH_DIMS[self.arch],
+                                       dtype=self.dtype)
+            self.key_proj = nn.Dense(_BRANCH_DIMS[self.arch],
+                                     dtype=self.dtype)
+            self.value_proj = nn.Dense(_BRANCH_DIMS[self.arch],
+                                       dtype=self.dtype)
+            self.attn_mod = nn.MultiHeadDotProductAttention(
+                num_heads=1, dtype=self.dtype)
         self.out_layer = nn.Dense(1 if self.n_labels == 2 else self.n_labels,
                                   dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
@@ -70,6 +81,11 @@ class QualityNet(nn.Module):
     def merge(self, rgb_out, mask_out):
         if self.merge_strategy == "add":
             return rgb_out + mask_out
+        if self.merge_strategy == "attn":
+            q = self.query_proj(mask_out)[:, None, :]
+            k = self.key_proj(rgb_out)[:, None, :]
+            v = self.value_proj(rgb_out)[:, None, :]
+            return self.attn_mod(q, k, v)[:, 0, :]
         return jnp.concatenate([rgb_out, mask_out], axis=-1)
 
     def features(self, x_rgb, x_mask, train: bool = False):

@@ -17,6 +17,8 @@ from .qnet import CNNBranch, _BRANCH_DIMS
 
 Dtype = Any
 
+_VIT_DIMS = {"vit_b_16": 768, "vit_b_32": 768, "vit_l_32": 1024}
+
 
 class ActorCritic(nn.Module):
     out_dim: int = 2
@@ -30,14 +32,24 @@ class ActorCritic(nn.Module):
         """x_img: SAM embedding [B, 64, 64, 256] (channel-last);
         x_mask: [B, 224, 224, 3]; returns (policy_logits [B, out_dim], value [B, 1]).
         """
-        dim = _BRANCH_DIMS[self.arch]
+        is_vit = "vit" in self.arch
+        dim = _VIT_DIMS[self.arch] if is_vit else _BRANCH_DIMS[self.arch]
 
         embed = jnp.mean(x_img, axis=(-3, -2))  # AdaptiveAvgPool2d(1)
         embed = nn.Dense(dim, dtype=self.dtype, name="embed_proj")(embed)
 
-        mask_out = CNNBranch(arch=self.arch, dtype=self.dtype, name="mask_branch")(
-            x_mask, train
-        )
+        if is_vit:
+            from .vit import ViTEncoder
+
+            patch = 32 if self.arch.endswith("_32") else 16
+            depth = 24 if self.arch.startswith("vit_l") else 12
+            heads = 16 if self.arch.startswith("vit_l") else 12
+            mask_out, _ = ViTEncoder(
+                patch_size=patch, dim=dim, depth=depth, num_heads=heads,
+                img_size=224, dtype=self.dtype, name="mask_branch")(x_mask)
+        else:
+            mask_out = CNNBranch(arch=self.arch, dtype=self.dtype,
+                                 name="mask_branch")(x_mask, train)
 
         parts = [embed, mask_out]
         if self.use_cost:

@@ -132,6 +132,15 @@ class TestQNet:
         feats = net.apply(params, x, x, method="extract_features")
         assert feats.shape == (1, 512)
 
+    def test_attn_merge(self):
+        net = QualityNet(arch="resnet18", merge_strategy="attn")
+        x = jnp.zeros((2, 64, 64, 3))
+        params = net.init(jax.random.PRNGKey(0), x, x)
+        logits = net.apply(params, x, x)
+        assert logits.shape == (2, 20)
+        feats = net.apply(params, x, x, method="extract_features")
+        assert feats.shape == (2, 512)
+
     def test_dropout_requires_rng_in_train(self):
         net = QualityNet(arch="resnet18")
         x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 64, 3)),
@@ -151,6 +160,14 @@ class TestActorCritic:
         params = net.init(jax.random.PRNGKey(0), emb, mask)
         p, v = net.apply(params, emb, mask)
         assert p.shape == (3, 2) and v.shape == (3, 1)
+
+    def test_vit_mask_branch(self):
+        net = ActorCritic(out_dim=2, arch="vit_b_32")
+        emb = jnp.zeros((1, 64, 64, 256))
+        mask = jnp.zeros((1, 224, 224, 3))
+        params = net.init(jax.random.PRNGKey(0), emb, mask)
+        p, v = net.apply(params, emb, mask)
+        assert p.shape == (1, 2) and v.shape == (1, 1)
 
     def test_with_cost_branch(self):
         net = ActorCritic(out_dim=3, arch="resnet18", use_cost=True)
