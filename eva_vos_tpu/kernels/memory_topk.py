@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: streaming top-k memory affinity.
+
+The XLA path (``ops.memory_attention``) materializes the [N, M] score
+matrix in HBM before ``lax.top_k``.  This kernel streams the memory bank
+through VMEM in blocks: for each query tile it computes the block's scores
+on the MXU and merges the block's top-k with a running top-k carried in
+VMEM scratch — HBM traffic drops from O(N*M) score bytes to the memory
+bank itself.
+
+Exact semantics: identical candidate set as a global top-k.  Merging block
+top-k lists preserves the final top-k because any global top-k element is
+necessarily in its own block's top-k.  Ties resolve toward lower indices
+(blocks are scanned in order and the merge prefers the incumbent on equal
+values), matching ``lax.top_k``.
+
+The grid dimension iterates over query tiles; memory blocks stream inside
+the kernel via ``fori_loop`` over VMEM-resident slices of the (ANY-space)
+bank.  Scores accumulate in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _merge_topk(run_vals, run_idx, new_vals, new_idx, k):
+    """Merge two [Q, k] sorted-descending candidate sets -> top-k.
+
+    Prefers lower indices on ties by re-sorting on (value, -index) — the
+    concatenation keeps incumbents first, and jax.lax.top_k is stable.
+    """
+    vals = jnp.concatenate([run_vals, new_vals], axis=1)
+    idx = jnp.concatenate([run_idx, new_idx], axis=1)
+    top_vals, pos = jax.lax.top_k(vals, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    return top_vals, top_idx
+
+
+def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
+            block_m: int, top_k: int, scale: float):
+    m_total = mk_ref.shape[0]
+    n_blocks = m_total // block_m
+    q = qk_ref[:]                                   # [Qt, CK]
+
+    run_vals = jnp.full((q.shape[0], top_k), NEG_INF, jnp.float32)
+    run_idx = jnp.zeros((q.shape[0], top_k), jnp.int32)
+
+    def body(b, carry):
+        run_vals, run_idx = carry
+        mk_blk = mk_ref[pl.ds(b * block_m, block_m), :]      # [Bm, CK]
+        msq_blk = msq_ref[pl.ds(b * block_m, block_m)]       # [Bm]
+        dot = jax.lax.dot_general(
+            q, mk_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = (2.0 * dot - msq_blk[None, :]) * scale      # [Qt, Bm]
+
+        token_ids = b * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_m), 1)
+        scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
+
+        blk_vals, blk_idx = jax.lax.top_k(scores, top_k)
+        blk_idx = blk_idx + b * block_m
+        return _merge_topk(run_vals, run_idx, blk_vals,
+                           blk_idx.astype(jnp.int32), top_k)
+
+    run_vals, run_idx = jax.lax.fori_loop(0, n_blocks, body,
+                                          (run_vals, run_idx))
+    vals_ref[:] = run_vals
+    idx_ref[:] = run_idx
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "block_q", "block_m",
+                                    "interpret"))
+def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
+                       block_q: int = 256, block_m: int = 2048,
+                       interpret: bool = False):
+    """Streaming top-k scores.
+
+    mk [M, CK], qk [N, CK] -> (weights [N, top_k] fp32, idx [N, top_k]).
+    N must divide into block_q tiles after padding; M pads to block_m.
+    """
+    n, ck = qk.shape
+    m = mk.shape[0]
+    scale = 1.0 / math.sqrt(ck)
+
+    pad_n = (-n) % block_q
+    pad_m = (-m) % block_m
+    qk_p = jnp.pad(qk, ((0, pad_n), (0, 0)))
+    mk_p = jnp.pad(mk, ((0, pad_m), (0, 0)))
+    msq = jnp.sum(mk_p.astype(jnp.float32) ** 2, axis=-1)
+    valid = jnp.asarray(
+        [m if valid_tokens is None else valid_tokens], jnp.int32)
+
+    np_, mp_ = n + pad_n, m + pad_m
+    grid = (np_ // block_q,)
+
+    vals, idx = pl.pallas_call(
+        functools.partial(_kernel, block_m=block_m, top_k=top_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, ck), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp_, ck), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp_,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, top_k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, top_k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, top_k), jnp.float32),
+            jax.ShapeDtypeStruct((np_, top_k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qk_p, mk_p, msq, valid)
+
+    vals = vals[:n]
+    idx = idx[:n]
+    w = jnp.exp(vals - vals[:, :1])
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return w, idx
+
+
+_SUPPORTED = None
+
+
+def pallas_supported() -> bool:
+    """Probe whether the compiled kernel runs on this backend (Mosaic needs
+    sort/top_k support inside kernels; falls back to the XLA path if not)."""
+    global _SUPPORTED
+    if _SUPPORTED is None:
+        try:
+            import numpy as np
+
+            mk = jnp.asarray(np.random.default_rng(0)
+                             .standard_normal((256, 8)), jnp.float32)
+            qk = jnp.asarray(np.random.default_rng(1)
+                             .standard_normal((8, 8)), jnp.float32)
+            w, i = pallas_memory_topk(mk, qk, top_k=4, block_q=8,
+                                      block_m=128)
+            jax.block_until_ready(w)
+            _SUPPORTED = True
+        except Exception:
+            _SUPPORTED = False
+    return _SUPPORTED

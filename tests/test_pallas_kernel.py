@@ -1,0 +1,45 @@
+"""Pallas streaming top-k kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eva_vos_tpu.kernels import pallas_memory_topk
+from eva_vos_tpu.ops import memory_affinity_topk
+
+
+@pytest.mark.parametrize("m,n,ck,top_k", [(512, 64, 16, 8), (768, 100, 32, 16)])
+def test_matches_xla_oracle(rng, m, n, ck, top_k):
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k)
+    w, i = pallas_memory_topk(mk, qk, top_k, block_q=32, block_m=128,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_valid_tokens(rng):
+    m, n, ck, top_k = 256, 16, 8, 5
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k, valid_tokens=100)
+    w, i = pallas_memory_topk(mk, qk, top_k, valid_tokens=100,
+                              block_q=16, block_m=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_padding_of_n(rng):
+    """N not divisible by block_q: padded queries must not leak."""
+    m, n, ck, top_k = 128, 37, 8, 4
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k)
+    w, i = pallas_memory_topk(mk, qk, top_k, block_q=16, block_m=64,
+                              interpret=True)
+    assert w.shape == (n, top_k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
