@@ -100,6 +100,47 @@ class TestGetMask:
         assert len(labels2) > len(labels)  # prompts accumulated
 
 
+class TestPromptTypes:
+    def test_type_a_ignores_mivos_mask(self):
+        """prompt_type 'a': no warm start — the first click is the gt
+        middle click, regardless of the propagated mask."""
+        ann_a = Annotator(FakeSAMController(), prompt_type="a")
+        gt = blob(20, 70, 30, 90)
+        mivos = blob(24, 74, 34, 94)
+        im = normed_image()
+        _, cost, _, _, clicks, labels, _ = ann_a.get_mask(
+            "click", gt, im=im, num_prompts=1, mivos_mask=mivos)
+        assert len(labels) == 1 and labels[0] == 1  # single positive click
+        assert cost == ANNOTATION_COSTS["click"] + \
+            ANNOTATION_COSTS["click_overhead"]
+
+    def test_type_b_drops_previous_clicks(self):
+        """prompt_type 'b': resume from logits only — prior clicks and
+        boxes are discarded before the new round."""
+        ann_b = Annotator(FakeSAMController(), prompt_type="b")
+        gt = blob(20, 70, 30, 90)
+        im = normed_image()
+        m1, _, _, logits, clicks, labels, bbox = ann_b.get_mask(
+            "click", gt, im=im, num_prompts=1)
+        prev = {"sam_logits": logits, "click_coords": clicks,
+                "click_labels": labels, "bbox": bbox}
+        _, _, _, _, clicks2, labels2, bbox2 = ann_b.get_mask(
+            "click", gt, im=im, num_prompts=1, mivos_mask=m1,
+            prev_iter_data=prev)
+        # only the fresh refinement clicks remain
+        assert len(labels2) <= 2
+        assert bbox2 is None
+
+    def test_warm_start_skipped_for_empty_mivos(self, annotator):
+        gt = blob(20, 70, 30, 90)
+        im = normed_image()
+        _, cost, iou, *_ = annotator.get_mask(
+            "click", gt, im=im, num_prompts=1,
+            mivos_mask=np.zeros((H, W), np.float32))
+        assert cost == ANNOTATION_COSTS["click"] + \
+            ANNOTATION_COSTS["click_overhead"]
+
+
 class TestBestSamMask:
     def test_no_overlap_first_wins_via_smoothing(self, annotator):
         # Smoothed IoU of an empty mask is ~1e-8 > 0, so the first candidate
