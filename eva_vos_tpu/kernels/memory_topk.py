@@ -44,6 +44,77 @@ def _merge_topk(run_vals, run_idx, new_vals, new_idx, k):
     return top_vals, top_idx
 
 
+def _extract_topk(scores, payload, k):
+    """Iterative k-max extraction over the last axis — no sort, no gather.
+
+    k (max, argmax, mask-out) passes on VMEM-resident data cost far less
+    than the O(M log^2 M) sort XLA lowers ``top_k`` to (measured 9.5 ms per
+    frame at [1620, 16200] on v5e — 85% of the whole propagation step).
+    Ties pick the lowest index (argmax first-match), identical to lax.top_k.
+    The per-element ``payload`` (global token id) rides along via a masked
+    reduction, avoiding gathers that Mosaic may not lower.
+
+    scores [Q, B] fp32, payload [Q, B] int32
+    -> ([Q, k] vals desc, [Q, k] payload of the selected elements).
+    """
+    q, b = scores.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (q, b), 1)
+    out_slot = jax.lax.broadcasted_iota(jnp.int32, (q, k), 1)
+
+    def body(j, carry):
+        scores, vals, idx = carry
+        m = jnp.max(scores, axis=1)                          # [Q]
+        am = jnp.argmax(scores, axis=1).astype(jnp.int32)    # [Q]
+        hit = col_ids == am[:, None]
+        pay = jnp.sum(jnp.where(hit, payload, 0), axis=1)    # [Q]
+        vals = jnp.where(out_slot == j, m[:, None], vals)
+        idx = jnp.where(out_slot == j, pay[:, None], idx)
+        scores = jnp.where(hit, NEG_INF, scores)
+        return scores, vals, idx
+
+    vals0 = jnp.full((q, k), NEG_INF, jnp.float32)
+    idx0 = jnp.zeros((q, k), jnp.int32)
+    _, vals, idx = jax.lax.fori_loop(0, k, body, (scores, vals0, idx0))
+    return vals, idx
+
+
+def _kernel_iter(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
+                 block_m: int, top_k: int, scale: float):
+    """Sort-free variant: per-block iterative extraction + running merge."""
+    m_total = mk_ref.shape[0]
+    n_blocks = m_total // block_m
+    q = qk_ref[:]
+
+    run_vals = jnp.full((q.shape[0], top_k), NEG_INF, jnp.float32)
+    run_idx = jnp.zeros((q.shape[0], top_k), jnp.int32)
+
+    def body(b, carry):
+        run_vals, run_idx = carry
+        mk_blk = mk_ref[pl.ds(b * block_m, block_m), :]
+        msq_blk = msq_ref[pl.ds(b * block_m, block_m)]
+        dot = jax.lax.dot_general(
+            q, mk_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = (2.0 * dot - msq_blk[None, :]) * scale
+
+        token_ids = b * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[0], block_m), 1)
+        scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
+
+        blk_vals, blk_idx = _extract_topk(scores, token_ids, top_k)
+        # merge running + block candidates with another extraction pass.
+        # incumbents (lower indices) come first, so equal values keep the
+        # earlier block's token — the lax.top_k tie rule.
+        cand_vals = jnp.concatenate([run_vals, blk_vals], axis=1)
+        cand_pos = jnp.concatenate([run_idx, blk_idx], axis=1)
+        return _extract_topk(cand_vals, cand_pos, top_k)
+
+    run_vals, run_idx = jax.lax.fori_loop(0, n_blocks, body,
+                                          (run_vals, run_idx))
+    vals_ref[:] = run_vals
+    idx_ref[:] = run_idx
+
+
 def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
             block_m: int, top_k: int, scale: float):
     m_total = mk_ref.shape[0]
@@ -79,14 +150,19 @@ def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "block_q", "block_m",
-                                    "interpret"))
+                                    "interpret", "method"))
 def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
                        block_q: int = 256, block_m: int = 2048,
-                       interpret: bool = False):
+                       interpret: bool = False, method: str = "iterative"):
     """Streaming top-k scores.
 
     mk [M, CK], qk [N, CK] -> (weights [N, top_k] fp32, idx [N, top_k]).
     N must divide into block_q tiles after padding; M pads to block_m.
+
+    method:
+      'iterative' — sort-free k-max extraction (the fast path; XLA's
+                    top_k sort costs 85% of a propagation step on v5e)
+      'sort'      — lax.top_k inside the kernel (needs Mosaic sort support)
     """
     n, ck = qk.shape
     m = mk.shape[0]
@@ -103,8 +179,10 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
     np_, mp_ = n + pad_n, m + pad_m
     grid = (np_ // block_q,)
 
+    kernel_fn = _kernel_iter if method == "iterative" else _kernel
     vals, idx = pl.pallas_call(
-        functools.partial(_kernel, block_m=block_m, top_k=top_k, scale=scale),
+        functools.partial(kernel_fn, block_m=block_m, top_k=top_k,
+                          scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, ck), lambda i: (i, 0),
@@ -150,7 +228,7 @@ def pallas_supported() -> bool:
             qk = jnp.asarray(np.random.default_rng(1)
                              .standard_normal((8, 8)), jnp.float32)
             w, i = pallas_memory_topk(mk, qk, top_k=4, block_q=8,
-                                      block_m=128)
+                                      block_m=128, method="iterative")
             jax.block_until_ready(w)
             _SUPPORTED = True
         except Exception:

@@ -97,6 +97,11 @@ class AnnotationEnv:
         if self.done:
             if "click" in self.annotation_actions:
                 self.annotation_cost += ANNOTATION_COSTS["click_overhead"]
+            if self.annotation_cost == 0:
+                # 'stop' as the first action: zero cost, zero gain.  The
+                # reference divides by zero here (annotation_env.py:193) —
+                # unreachable with its 2-action space; defined as 0 reward.
+                return 0.0
             return (self.iou - self.init_iou) / self.annotation_cost
         return (self.iou - prev_iou) / self.curr_cost
 

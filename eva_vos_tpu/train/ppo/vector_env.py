@@ -211,7 +211,8 @@ class VectorizedAnnotationEnvs:
             if s["done"]:
                 if "click" in s["actions"]:
                     s["cost"] += ANNOTATION_COSTS["click_overhead"]
-                rewards[e] = (s["iou"] - s["init_iou"]) / s["cost"]
+                rewards[e] = (0.0 if s["cost"] == 0 else
+                              (s["iou"] - s["init_iou"]) / s["cost"])
             else:
                 rewards[e] = (s["iou"] - s["prev_iou"]) / s["curr_cost"]
             dones[e] = s["done"]

@@ -8,14 +8,15 @@ from eva_vos_tpu.kernels import pallas_memory_topk
 from eva_vos_tpu.ops import memory_affinity_topk
 
 
+@pytest.mark.parametrize("method", ["sort", "iterative"])
 @pytest.mark.parametrize("m,n,ck,top_k", [(512, 64, 16, 8), (768, 100, 32, 16)])
-def test_matches_xla_oracle(rng, m, n, ck, top_k):
+def test_matches_xla_oracle(rng, m, n, ck, top_k, method):
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
     qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
 
     ref_w, ref_i = memory_affinity_topk(mk, qk, top_k)
     w, i = pallas_memory_topk(mk, qk, top_k, block_q=32, block_m=128,
-                              interpret=True)
+                              interpret=True, method=method)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
                                rtol=1e-5, atol=1e-6)

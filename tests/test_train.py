@@ -66,8 +66,9 @@ class TestReturnsAndGAE:
         np.testing.assert_allclose(g, [0.5])  # delta = 1 + 0 - 0.5
 
     def test_gae_recursion(self):
+        # deltas = [r0 + v1 - v0, r1 - v1] = [0, 1]; gae0 = d0 + gae1 = 1
         g = calculate_gaes([0.0, 1.0], [0.0, 0.0], gamma=1.0, decay=1.0)
-        np.testing.assert_allclose(g, [2.0, 1.0])
+        np.testing.assert_allclose(g, [1.0, 1.0])
 
 
 def _normed(img01):
