@@ -68,8 +68,9 @@ class EngineConfig(NamedTuple):
     top_k: int = 50
     max_interactions: int = 64
     feature_chunk: int = 4      # frames per encode_key step during precompute
-    readout_strategy: str = "scatter"  # 'scatter' rides the MXU; 'gather'
-    #                                    row-gathers (slow on TPU)
+    readout_strategy: str = "auto"  # 'auto' = 'pallas' when the streaming
+    #   kernel compiles on this backend, else 'scatter' (MXU densify);
+    #   'gather' row-gathers (slow on TPU). See ops.memory_attention.
     block_frames: bool = True   # batch the mem_freq frames between memory
     #                             admissions (bank is constant there, so
     #                             their segmentations are independent —
@@ -94,6 +95,15 @@ class InferenceEngine:
         self.fusion = fusion
         self.stcn_params = stcn_params
         self.fusion_params = fusion_params
+        if config.readout_strategy == "auto":
+            from ..kernels import pallas_supported
+
+            # tunneled TPUs may report a plugin backend name (e.g. 'axon'),
+            # so gate on not-CPU and let the probe decide
+            on_accel = jax.default_backend() != "cpu"
+            config = config._replace(
+                readout_strategy="pallas" if on_accel and pallas_supported()
+                else "scatter")
         self.config = config
 
         self._precompute_jit = jax.jit(self._precompute, static_argnames=("chunk",))

@@ -80,39 +80,72 @@ def _extract_topk(scores, payload, k):
 
 def _kernel_iter(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
                  block_m: int, top_k: int, scale: float):
-    """Sort-free variant: per-block iterative extraction + running merge."""
+    """Sort-free variant: per-block iterative extraction; candidates from
+    all blocks accumulate into one buffer and merge ONCE at the end (one
+    extra extraction instead of one per block).  Blocks entirely past the
+    bank's fill pointer are skipped outright — with the engine's fixed-size
+    bank the valid prefix is usually a fraction of Mmax."""
     m_total = mk_ref.shape[0]
     n_blocks = m_total // block_m
     q = qk_ref[:]
+    nq = q.shape[0]
 
-    run_vals = jnp.full((q.shape[0], top_k), NEG_INF, jnp.float32)
-    run_idx = jnp.zeros((q.shape[0], top_k), jnp.int32)
+    cand_vals0 = jnp.full((nq, n_blocks * top_k), NEG_INF, jnp.float32)
+    cand_idx0 = jnp.zeros((nq, n_blocks * top_k), jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (nq, n_blocks * top_k), 1)
 
     def body(b, carry):
-        run_vals, run_idx = carry
-        mk_blk = mk_ref[pl.ds(b * block_m, block_m), :]
-        msq_blk = msq_ref[pl.ds(b * block_m, block_m)]
-        dot = jax.lax.dot_general(
-            q, mk_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        scores = (2.0 * dot - msq_blk[None, :]) * scale
+        cand_vals, cand_idx = carry
 
-        token_ids = b * block_m + jax.lax.broadcasted_iota(
-            jnp.int32, (q.shape[0], block_m), 1)
-        scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
+        def live(_):
+            mk_blk = mk_ref[pl.ds(b * block_m, block_m), :]
+            msq_blk = msq_ref[pl.ds(b * block_m, block_m)]
+            dot = jax.lax.dot_general(
+                q, mk_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            scores = (2.0 * dot - msq_blk[None, :]) / scale
+            token_ids = b * block_m + jax.lax.broadcasted_iota(
+                jnp.int32, (nq, block_m), 1)
+            scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
+            blk_vals, blk_idx = _extract_topk(scores, token_ids, top_k)
+            in_slot = (slot_ids >= b * top_k) & (slot_ids < (b + 1) * top_k)
+            placed_v = _place_block(blk_vals, b, top_k, n_blocks * top_k)
+            placed_i = _place_block(blk_idx.astype(jnp.float32), b, top_k,
+                                    n_blocks * top_k)
+            cv = jnp.where(in_slot, placed_v, cand_vals)
+            ci = jnp.where(in_slot, placed_i.astype(jnp.int32), cand_idx)
+            return cv, ci
 
-        blk_vals, blk_idx = _extract_topk(scores, token_ids, top_k)
-        # merge running + block candidates with another extraction pass.
-        # incumbents (lower indices) come first, so equal values keep the
-        # earlier block's token — the lax.top_k tie rule.
-        cand_vals = jnp.concatenate([run_vals, blk_vals], axis=1)
-        cand_pos = jnp.concatenate([run_idx, blk_idx], axis=1)
-        return _extract_topk(cand_vals, cand_pos, top_k)
+        # skip blocks entirely beyond the valid prefix
+        return jax.lax.cond(b * block_m < valid_ref[0], live,
+                            lambda _: (cand_vals, cand_idx), None)
 
-    run_vals, run_idx = jax.lax.fori_loop(0, n_blocks, body,
-                                          (run_vals, run_idx))
-    vals_ref[:] = run_vals
-    idx_ref[:] = run_idx
+    cand_vals, cand_idx = jax.lax.fori_loop(0, n_blocks, body,
+                                            (cand_vals0, cand_idx0))
+    # final exact merge over all block candidates (ties -> lower slot ->
+    # lower block -> lower token index, the lax.top_k rule)
+    vals, idx = _extract_topk(cand_vals, cand_idx, top_k)
+    vals_ref[:] = vals
+    idx_ref[:] = idx
+
+
+def _place_block(x, b, k, width):
+    """Shift x's k columns to offset ``b*k`` in a width-col buffer via a
+    one-hot matmul (Mosaic rejects ``pltpu.roll`` with a traced shift; a
+    [k, width] one-hot built from iotas + one tiny dot is vector-friendly).
+    Token-index payloads ride as fp32 — exact below 2^24.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, width), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, width), 1)
+    onehot = (cols == rows + b * k).astype(jnp.float32)
+    # HIGHEST is essential: the default MXU fp32 path rounds through bf16,
+    # corrupting both candidate scores and integer payloads (> 256).
+    return jax.lax.dot_general(
+        x.astype(jnp.float32), onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
@@ -131,7 +164,7 @@ def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
         dot = jax.lax.dot_general(
             q, mk_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        scores = (2.0 * dot - msq_blk[None, :]) * scale      # [Qt, Bm]
+        scores = (2.0 * dot - msq_blk[None, :]) / scale      # [Qt, Bm]
 
         token_ids = b * block_m + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_m), 1)
@@ -166,7 +199,7 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
     """
     n, ck = qk.shape
     m = mk.shape[0]
-    scale = 1.0 / math.sqrt(ck)
+    scale = math.sqrt(ck)  # divide, matching ops.memory_attention rounding
 
     pad_n = (-n) % block_q
     pad_m = (-m) % block_m

@@ -111,16 +111,25 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None, strategy: str
     mk: [M, CK] memory keys
     qk: [N, CK] query keys
     mv: [K, M, CV] memory values (K objects share one affinity)
+    strategy: 'gather' (take-rows readout), 'scatter' (densify + MXU
+    matmul), or 'pallas' (sort-free streaming selection kernel — the fast
+    TPU path; XLA's top_k sort otherwise dominates propagation).
     Returns [K, N, CV] in mv.dtype.
     """
-    w, idx = memory_affinity_topk(mk, qk, top_k, valid_tokens)
+    if strategy == "pallas":
+        from ..kernels.memory_topk import pallas_memory_topk
+
+        w, idx = pallas_memory_topk(mk, qk, top_k, valid_tokens)
+    else:
+        w, idx = memory_affinity_topk(mk, qk, top_k, valid_tokens)
+
     if strategy == "gather":
         # [K, N, top_k, CV] gather then weighted sum over top_k.
         gathered = mv[:, idx, :]  # [K, N, top_k, CV]
         out = jnp.einsum(
             "nk,bnkc->bnc", w.astype(jnp.float32), gathered.astype(jnp.float32)
         )
-    elif strategy == "scatter":
+    elif strategy in ("scatter", "pallas"):
         n, m = qk.shape[0], mk.shape[0]
         dense = jnp.zeros((n, m), dtype=jnp.float32).at[
             jnp.arange(n)[:, None], idx
