@@ -44,7 +44,7 @@ def _merge_topk(run_vals, run_idx, new_vals, new_idx, k):
     return top_vals, top_idx
 
 
-def _extract_topk(scores, payload, k):
+def _extract_topk(scores, payload, k, base=None):
     """Iterative k-max extraction over the last axis — no sort, no gather.
 
     k (max, argmax, mask-out) passes on VMEM-resident data cost far less
@@ -60,13 +60,18 @@ def _extract_topk(scores, payload, k):
     q, b = scores.shape
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (q, b), 1)
     out_slot = jax.lax.broadcasted_iota(jnp.int32, (q, k), 1)
+    consecutive = base is not None  # token ids are base + column
 
     def body(j, carry):
         scores, vals, idx = carry
         m = jnp.max(scores, axis=1)                          # [Q]
         am = jnp.argmax(scores, axis=1).astype(jnp.int32)    # [Q]
         hit = col_ids == am[:, None]
-        pay = jnp.sum(jnp.where(hit, payload, 0), axis=1)    # [Q]
+        if consecutive:
+            # consecutive ids — derive from argmax, no reduction needed
+            pay = am + base
+        else:
+            pay = jnp.sum(jnp.where(hit, payload, 0), axis=1)  # [Q]
         vals = jnp.where(out_slot == j, m[:, None], vals)
         idx = jnp.where(out_slot == j, pay[:, None], idx)
         scores = jnp.where(hit, NEG_INF, scores)
@@ -108,7 +113,8 @@ def _kernel_iter(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
             token_ids = b * block_m + jax.lax.broadcasted_iota(
                 jnp.int32, (nq, block_m), 1)
             scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
-            blk_vals, blk_idx = _extract_topk(scores, token_ids, top_k)
+            blk_vals, blk_idx = _extract_topk(scores, None, top_k,
+                                              base=b * block_m)
             in_slot = (slot_ids >= b * top_k) & (slot_ids < (b + 1) * top_k)
             placed_v = _place_block(blk_vals, b, top_k, n_blocks * top_k)
             placed_i = _place_block(blk_idx.astype(jnp.float32), b, top_k,
