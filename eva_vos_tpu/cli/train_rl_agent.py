@@ -19,7 +19,6 @@ import argparse
 import os
 
 import numpy as np
-import jax
 
 from ..utils.paths import DataPaths
 from ..utils.config import apply_yaml_config

@@ -31,8 +31,7 @@ TPU-first redesign
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .eval import (Session, initialize, eval_session_metric, not_avail_frames,
+from .eval import (initialize, eval_session_metric, not_avail_frames,
                    EMPTY_GT_TOKEN)
 from .policies import (qnet_frame_selection, rand_frame_selection,
                        l2_frame_selection, upper_bound_frame_selection,

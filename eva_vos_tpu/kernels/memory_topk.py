@@ -105,10 +105,16 @@ def _kernel_iter(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
         def live(_):
             mk_blk = mk_ref[pl.ds(b * block_m, block_m), :]
             msq_blk = msq_ref[pl.ds(b * block_m, block_m)]
+            # fp32 inputs need HIGHEST (default MXU fp32 rounds via bf16 and
+            # perturbs the selection); bf16 inputs use the native bf16 MXU
+            # path with fp32 accumulation — identical to the XLA reference
+            # op on the same inputs. Mosaic rejects HIGHEST on bf16 lhs.
+            prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
             dot = jax.lax.dot_general(
                 q, mk_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=prec)
             scores = (2.0 * dot - msq_blk[None, :]) / scale
             token_ids = b * block_m + jax.lax.broadcasted_iota(
                 jnp.int32, (nq, block_m), 1)
@@ -262,14 +268,19 @@ def pallas_supported() -> bool:
         try:
             import numpy as np
 
+            # Probe at production-like tile sizes: Mosaic rejects tiny
+            # blocks whose derived buffers fall below the (8, 128) tiles.
             mk = jnp.asarray(np.random.default_rng(0)
-                             .standard_normal((256, 8)), jnp.float32)
+                             .standard_normal((4096, 64)), jnp.float32)
             qk = jnp.asarray(np.random.default_rng(1)
-                             .standard_normal((8, 8)), jnp.float32)
-            w, i = pallas_memory_topk(mk, qk, top_k=4, block_q=8,
-                                      block_m=128, method="iterative")
+                             .standard_normal((128, 64)), jnp.float32)
+            w, i = pallas_memory_topk(mk, qk, top_k=50, block_q=128,
+                                      block_m=2048, method="iterative")
             jax.block_until_ready(w)
-            _SUPPORTED = True
+            from ..ops.memory_attention import memory_affinity_topk
+
+            rw, ri = memory_affinity_topk(mk, qk, 50)
+            _SUPPORTED = bool((np.asarray(i) == np.asarray(ri)).all())
         except Exception:
             _SUPPORTED = False
     return _SUPPORTED

@@ -9,7 +9,7 @@ ones do not) so converted checkpoints map 1:1.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

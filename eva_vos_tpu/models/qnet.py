@@ -13,7 +13,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .resnet import ResNetTrunk, feature_dims
+from .resnet import ResNetTrunk
 
 Dtype = Any
 

@@ -7,7 +7,7 @@ loads ``sam_model_registry['vit_h']``, ``sam/sam_controller.py:18``); the
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Tuple
 
 import jax

@@ -9,8 +9,6 @@ on-device batched evaluation.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -13,9 +13,8 @@ the reference's per-replica stats with ``broadcast_buffers=False``).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax

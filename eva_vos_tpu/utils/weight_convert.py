@@ -20,8 +20,6 @@ shape mismatches fail loudly.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
-
 import numpy as np
 
 

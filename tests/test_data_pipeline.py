@@ -109,6 +109,18 @@ class TestAnnotPipeline:
         assert emb.shape == (256, 64, 64)
 
 
+def save_palette_png(arr: np.ndarray, path):
+    """Save object-id maps as a REAL palette PNG — without ``putpalette``
+    PIL re-quantizes on ``convert('P')`` and collapses the ids (DAVIS/MOSE
+    annotations always carry an explicit palette)."""
+    from PIL import Image
+
+    im = Image.fromarray(arr.astype(np.uint8), mode="P")
+    im.putpalette([0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 255, 0]
+                  + [0] * (768 - 12))
+    im.save(path)
+
+
 class TestAnnotationDataset:
     def test_davis_layout_roundtrip(self, tmp_path):
         """Write a minimal DAVIS-style tree and read it back."""
@@ -123,9 +135,9 @@ class TestAnnotationDataset:
         for f in range(3):
             Image.fromarray((images[f] * 255).astype(np.uint8)).save(
                 root / "JPEGImages" / "480p" / vid / f"{f:05d}.jpg")
-            palette = (masks[0, f] * 1 + masks[1, f] * 2).astype(np.uint8)
-            Image.fromarray(palette, mode="P").save(
-                root / "Annotations" / "480p" / vid / f"{f:05d}.png")
+            palette = np.where(masks[1, f] > 0, 2, masks[0, f]).astype(np.uint8)
+            save_palette_png(palette,
+                             root / "Annotations" / "480p" / vid / f"{f:05d}.png")
         imset = root / "ImageSets" / "set.txt"
         imset.parent.mkdir(parents=True)
         imset.write_text(f"{vid}\n")
@@ -151,9 +163,11 @@ class TestAnnotationDataset:
         for f in range(2):
             Image.fromarray((images[f] * 255).astype(np.uint8)).save(
                 root / "JPEGImages" / "480p" / vid / f"{f:05d}.jpg")
-            palette = sum((masks[k, f] * (k + 1) for k in range(3))).astype(np.uint8)
-            Image.fromarray(palette, mode="P").save(
-                root / "Annotations" / "480p" / vid / f"{f:05d}.png")
+            palette = np.zeros(masks.shape[2:], np.uint8)
+            for k in range(3):
+                palette = np.where(masks[k, f] > 0, k + 1, palette)
+            save_palette_png(palette,
+                             root / "Annotations" / "480p" / vid / f"{f:05d}.png")
         imset = root / "set.txt"
         imset.write_text("v\n")
 
