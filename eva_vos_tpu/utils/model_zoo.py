@@ -31,9 +31,24 @@ def _maybe(path: Path, allow_random: bool):
         f"run or set EVAVOS_WEIGHTS_ROOT")
 
 
+def _tiny() -> bool:
+    """EVAVOS_TINY=1 builds resnet18-trunk models — used by CLI smoke tests
+    to keep CPU compiles fast; checkpoints cannot load in tiny mode."""
+    import os
+
+    return os.environ.get("EVAVOS_TINY") == "1"
+
+
 def load_stcn(dtype=jnp.float32, top_k: int = 50, allow_random=False,
               weights_root=None):
     root = Path(weights_root or DataPaths.weights_root())
+    if _tiny():
+        net = PropagationNetwork(top_k=top_k, dtype=dtype,
+                                 key_arch="resnet18", value_arch="resnet18")
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((64, 64, 3), dtype),
+                             jnp.zeros((1, 64, 64), dtype), method="init_all")
+        return net, variables
     net = PropagationNetwork(top_k=top_k, dtype=dtype)
     sd = _maybe(root / "mivos" / "stcn.pth", allow_random)
     if sd is None:
