@@ -82,6 +82,31 @@ class TestFQPipeline:
         assert np.isfinite(float(metrics["loss"]))
 
 
+class TestTrainQNetCLI:
+    def test_one_epoch_over_generated_db(self, fq_db_dir, tmp_path,
+                                         monkeypatch):
+        """train_qnet CLI end-to-end over the generated FQ dataset."""
+        import shutil
+
+        # the CLI expects res_<train-set>.csv and res_val.csv under FQ_DB
+        shutil.copy(fq_db_dir / "res_train.csv", fq_db_dir / "res_val.csv")
+        monkeypatch.setenv("EVAVOS_DATA_ROOT", str(fq_db_dir.parent))
+        (fq_db_dir.parent / "FQ_DB").exists() or shutil.copytree(
+            fq_db_dir, fq_db_dir.parent / "FQ_DB")
+
+        from eva_vos_tpu.cli.train_qnet import main
+
+        out = tmp_path / "qnet_out"
+        main(["--epochs", "1", "--batch-size", "8", "--train-set", "train",
+              "--lr", "1e-3", "--out", str(out)])
+        assert (out / "qnet_ckpt").exists()
+
+        from eva_vos_tpu.utils.checkpoint import restore_checkpoint
+
+        ck = restore_checkpoint(out / "qnet_ckpt")
+        assert "params" in ck and "batch_stats" in ck
+
+
 @pytest.fixture(scope="module")
 def annot_db_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("annot_db")
