@@ -104,8 +104,9 @@ def memory_affinity_topk(mk, qk, top_k: int, valid_tokens=None,
     return w, idx
 
 
-@partial(jax.jit, static_argnames=("top_k", "strategy"))
-def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None, strategy: str = "gather"):
+@partial(jax.jit, static_argnames=("top_k", "strategy", "pallas_block_m"))
+def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
+                   strategy: str = "gather", pallas_block_m: int = 4096):
     """Full top-k attention readout.
 
     mk: [M, CK] memory keys
@@ -119,7 +120,9 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None, strategy: str
     if strategy == "pallas":
         from ..kernels.memory_topk import pallas_memory_topk
 
-        w, idx = pallas_memory_topk(mk, qk, top_k, valid_tokens)
+        w, idx = pallas_memory_topk(
+            mk, qk, top_k, valid_tokens,
+            block_m=min(pallas_block_m, max(mk.shape[0], 128)))
     else:
         w, idx = memory_affinity_topk(mk, qk, top_k, valid_tokens)
 
