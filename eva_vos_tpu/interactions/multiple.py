@@ -145,12 +145,15 @@ def _run_multi_loop(engine, sample, rounds, annotator, eval_metric,
         for ii, m in enumerate(metric):
             session.pf_annots[ii]["metric"] = m
 
+        # Per-policy "fully annotated" handling differs in the reference:
+        # oracle_oracle flags it but STILL appends argmin; rand_* appends
+        # nothing; eva_vos only checks from r >= num_frames and appends -1.
+        # choose_next_frame owns that logic and returns (selected | None,
+        # fully_annotated).
         not_mask_annotated = np.where(session.frame_interaction_type != 1)[0]
-        if len(not_mask_annotated) == 0:
-            fully_annotated = True
-            selected = None
-        else:
-            selected = choose_next_frame(session, gen_masks, metric, r)
+        selected, became_full = choose_next_frame(
+            session, gen_masks, metric, r, not_mask_annotated)
+        fully_annotated = fully_annotated or became_full
         if selected is not None:
             session.frames_list.append(int(selected))
 
@@ -180,8 +183,10 @@ def oracle_oracle(rounds, engine, sample, annotator,
                                  clicks, labels, bbox, logits)
         return mask, cost, action
 
-    def choose_next_frame(session, gen_masks, metric, r):
-        return int(np.argmin(metric))
+    def choose_next_frame(session, gen_masks, metric, r, not_mask):
+        # reference flags fully_annotated but still appends the argmin
+        # (mulitple_annotations.py:146-151)
+        return int(np.argmin(metric)), len(not_mask) == 0
 
     session, actions, round_metrics = _run_multi_loop(
         engine, sample, rounds, annotator, eval_metric,
@@ -190,10 +195,12 @@ def oracle_oracle(rounds, engine, sample, annotator,
             round_metrics, session.frames_list[:-1])
 
 
-def _rand_next_frame(session, rng):
-    """Random frame among those not annotated with a full mask."""
-    not_mask = np.where(session.frame_interaction_type != 1)[0]
-    return int(rng.choice(not_mask))
+def _rand_next_frame(session, rng, not_mask):
+    """Random frame among those not annotated with a full mask; None when
+    every frame is (reference rand loops then stop selecting)."""
+    if len(not_mask) == 0:
+        return None, True
+    return int(rng.choice(not_mask)), False
 
 
 def rand_type(rounds, engine, sample, annotator, annotation_type="3clicks",
@@ -212,8 +219,8 @@ def rand_type(rounds, engine, sample, annotator, annotation_type="3clicks",
                                  clicks, labels, bbox, logits)
         return mask, cost, annotation_type
 
-    def choose_next_frame(session, gen_masks, metric, r):
-        return _rand_next_frame(session, rng)
+    def choose_next_frame(session, gen_masks, metric, r, not_mask):
+        return _rand_next_frame(session, rng, not_mask)
 
     session, actions, _ = _run_multi_loop(
         engine, sample, rounds, annotator, eval_metric,
@@ -238,8 +245,8 @@ def rand_rand(rounds, engine, sample, annotator,
                                  clicks, labels, bbox, logits)
         return mask, cost, ann_action
 
-    def choose_next_frame(session, gen_masks, metric, r):
-        return _rand_next_frame(session, rng)
+    def choose_next_frame(session, gen_masks, metric, r, not_mask):
+        return _rand_next_frame(session, rng, not_mask)
 
     session, actions, _ = _run_multi_loop(
         engine, sample, rounds, annotator, eval_metric,
@@ -294,13 +301,16 @@ def eva_vos(qnet_extract, rl_agent_act, rounds, engine, sample, annotator,
                                  clicks, labels, bbox, logits)
         return mask, cost, action
 
-    def choose_next_frame(session, gen_masks, metric, r):
+    def choose_next_frame(session, gen_masks, metric, r, not_mask):
+        # reference checks full annotation only once r >= num_frames and
+        # records the -1 sentinel (mulitple_annotations.py:361-371)
         if r >= session.num_frames:
-            not_mask = np.where(session.frame_interaction_type != 1)[0]
+            if len(not_mask) == 0:
+                return -1, True
             return qnet_frame_selection(qnet_extract, frames224, gen_masks,
-                                        not_mask)
+                                        not_mask), False
         return qnet_frame_selection(qnet_extract, frames224, gen_masks,
-                                    session.frames_list)
+                                    session.frames_list), False
 
     session, actions, round_metrics = _run_multi_loop(
         engine, sample, rounds, annotator, eval_metric,
