@@ -22,6 +22,20 @@ def test_matches_xla_oracle(rng, m, n, ck, top_k, method):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_bf16_inputs_match_xla(rng):
+    """bf16 keys (the engine's bank dtype): kernel selection must match the
+    XLA path computed on the same bf16 inputs."""
+    m, n, ck, top_k = 512, 32, 16, 8
+    mk = jnp.asarray(rng.standard_normal((m, ck)), jnp.bfloat16)
+    qk = jnp.asarray(rng.standard_normal((n, ck)), jnp.bfloat16)
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k)
+    w, i = pallas_memory_topk(mk, qk, top_k, block_q=32, block_m=128,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                               rtol=2e-2, atol=1e-3)
+
+
 def test_valid_tokens(rng):
     m, n, ck, top_k = 256, 16, 8, 5
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
