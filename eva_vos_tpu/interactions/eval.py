@@ -22,6 +22,7 @@ from ..engine import InferenceEngine, PropagationState, VideoFeatures
 from ..engine.propagation import prepare_video, pad_mask
 from ..ops.metrics import compute_iou, get_j_and_f
 from ..utils.costs import ANNOTATION_COSTS
+from ..utils.profiling import WallClock
 
 EMPTY_GT_TOKEN = 20
 
@@ -65,6 +66,7 @@ class Session:
     annotation_times: list = field(default_factory=lambda: [ANNOTATION_COSTS["mask"]])
     masks_from_sam: dict = field(default_factory=dict)
     pf_annots: list = field(default_factory=list)
+    timers: WallClock = field(default_factory=WallClock)
 
     @property
     def num_frames(self) -> int:
@@ -76,8 +78,12 @@ class Session:
 
     def interact(self, mask: np.ndarray, idx: int):
         """mask [K, H, W] (unpadded) -> propagate; updates state in place."""
-        self.state = self.engine.interact(
-            self.state, self.feats, pad_mask(mask, self.pad), idx)
+        with self.timers.span("propagate"):
+            self.state = self.engine.interact(
+                self.state, self.feats, pad_mask(mask, self.pad), idx)
+            import jax
+
+            jax.block_until_ready(self.state.prob)
 
     def clone(self) -> "Session":
         """Cheap lookahead copy: shares features, copies bookkeeping; the
@@ -128,6 +134,11 @@ def eval_session_metric(session: Session, metric: str = "j"):
     * empty-gt frames contribute the token 20 to ``frame_quality_all`` only.
     """
     assert metric in {"j", "j_and_f"}
+    with session.timers.span(f"eval[{metric}]"):
+        return _eval_session_metric(session, metric)
+
+
+def _eval_session_metric(session: Session, metric: str):
     ids = session.engine.masks_from_prob(session.state.prob, session.pad)
     gen_masks = (ids > 0).astype(np.float32)  # K == 1 on eval paths
 

@@ -193,6 +193,53 @@ def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
     idx_ref[:] = run_idx
 
 
+def _kernel_grid(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
+                 cand_vals, cand_idx, *, block_m: int, top_k: int,
+                 scale: float, n_blocks: int):
+    """Grid-pipelined variant: the memory-block loop is a GRID dimension
+    (fastest-varying), so Mosaic double-buffers the mk block DMAs across
+    steps; per-block candidates accumulate in VMEM scratch (which persists
+    across grid steps) and the final block's step does the exact merge.
+    ``pl.when`` skips the scoring for blocks past the bank fill pointer."""
+    j = pl.program_id(1)
+    q = qk_ref[:]
+    nq = q.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        cand_vals[:] = jnp.full((nq, n_blocks * top_k), NEG_INF, jnp.float32)
+        cand_idx[:] = jnp.zeros((nq, n_blocks * top_k), jnp.int32)
+
+    @pl.when(j * block_m < valid_ref[0])
+    def _():
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        dot = jax.lax.dot_general(
+            q, mk_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        scores = (2.0 * dot - msq_ref[:][None, :]) / scale
+        token_ids = j * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (nq, block_m), 1)
+        scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
+        blk_vals, blk_idx = _extract_topk(scores, None, top_k,
+                                          base=j * block_m)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                            (nq, n_blocks * top_k), 1)
+        in_slot = (slot_ids >= j * top_k) & (slot_ids < (j + 1) * top_k)
+        placed_v = _place_block(blk_vals, j, top_k, n_blocks * top_k)
+        placed_i = _place_block(blk_idx.astype(jnp.float32), j, top_k,
+                                n_blocks * top_k)
+        cand_vals[:] = jnp.where(in_slot, placed_v, cand_vals[:])
+        cand_idx[:] = jnp.where(in_slot, placed_i.astype(jnp.int32),
+                                cand_idx[:])
+
+    @pl.when(j == n_blocks - 1)
+    def _():
+        vals, idx = _extract_topk(cand_vals[:], cand_idx[:], top_k)
+        vals_ref[:] = vals
+        idx_ref[:] = idx
+
+
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "block_q", "block_m",
                                     "interpret", "method"))
@@ -222,6 +269,44 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
         [m if valid_tokens is None else valid_tokens], jnp.int32)
 
     np_, mp_ = n + pad_n, m + pad_m
+
+    if method == "grid":
+        n_blocks = mp_ // block_m
+        vals, idx = pl.pallas_call(
+            functools.partial(_kernel_grid, block_m=block_m, top_k=top_k,
+                              scale=scale, n_blocks=n_blocks),
+            grid=(np_ // block_q, n_blocks),
+            in_specs=[
+                pl.BlockSpec((block_q, ck), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, ck), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m,), lambda i, j: (j,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((block_q, top_k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_q, top_k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((np_, top_k), jnp.float32),
+                jax.ShapeDtypeStruct((np_, top_k), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, n_blocks * top_k), jnp.float32),
+                pltpu.VMEM((block_q, n_blocks * top_k), jnp.int32),
+            ],
+            interpret=interpret,
+        )(qk_p, mk_p, msq, valid)
+        vals = vals[:n]
+        idx = idx[:n]
+        w = jnp.exp(vals - vals[:, :1])
+        w = w / jnp.sum(w, axis=1, keepdims=True)
+        return w, idx
+
     grid = (np_ // block_q,)
 
     kernel_fn = _kernel_iter if method == "iterative" else _kernel

@@ -122,7 +122,8 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
 
         w, idx = pallas_memory_topk(
             mk, qk, top_k, valid_tokens,
-            block_m=min(pallas_block_m, max(mk.shape[0], 128)))
+            block_m=min(pallas_block_m, max(mk.shape[0], 128)),
+            method="grid")
     else:
         w, idx = memory_affinity_topk(mk, qk, top_k, valid_tokens)
 

@@ -8,7 +8,7 @@ from eva_vos_tpu.kernels import pallas_memory_topk
 from eva_vos_tpu.ops import memory_affinity_topk
 
 
-@pytest.mark.parametrize("method", ["sort", "iterative"])
+@pytest.mark.parametrize("method", ["sort", "iterative", "grid"])
 @pytest.mark.parametrize("m,n,ck,top_k", [(512, 64, 16, 8), (768, 100, 32, 16)])
 def test_matches_xla_oracle(rng, m, n, ck, top_k, method):
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
