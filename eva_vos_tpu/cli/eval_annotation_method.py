@@ -66,6 +66,8 @@ def build_parser():
                         "append (per-video restart safety for long runs)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--timers", action="store_true",
+                   help="print a per-phase wall-clock report per video")
     return p
 
 
@@ -237,6 +239,11 @@ def main(argv=None):
         print(f"[{pstr}] {sample.name}: rounds={len(mus)} "
               f"final={mus[-1] if mus else float('nan'):.4f} "
               f"({time.time() - t0:.1f}s)")
+        if args.timers:
+            from ..interactions import eval as eval_mod
+
+            if eval_mod.LAST_SESSION is not None:
+                print(eval_mod.LAST_SESSION.timers.report())
         if args.resume:  # incremental flush for restart safety
             import pandas as pd
 

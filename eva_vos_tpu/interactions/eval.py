@@ -100,6 +100,11 @@ class Session:
         )
 
 
+# Most recent session, for observability hooks (the policy functions return
+# the reference's result tuples, not the session).
+LAST_SESSION: Optional[Session] = None
+
+
 def initialize(engine: InferenceEngine, sample: VideoSample,
                dtype=None) -> Session:
     """Build the per-video session (reference ``eval.py:92-118``).
@@ -120,6 +125,8 @@ def initialize(engine: InferenceEngine, sample: VideoSample,
         pf_annots=[_fresh_frame_record() for _ in range(t)],
     )
     session.frame_interaction_type[0] = 1
+    global LAST_SESSION
+    LAST_SESSION = session
     return session
 
 
