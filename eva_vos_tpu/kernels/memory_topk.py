@@ -194,21 +194,24 @@ def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
 
 
 def _kernel_grid(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
-                 cand_vals, cand_idx, *, block_m: int, top_k: int,
+                 run_vals, run_idx, *, block_m: int, top_k: int,
                  scale: float, n_blocks: int):
     """Grid-pipelined variant: the memory-block loop is a GRID dimension
     (fastest-varying), so Mosaic double-buffers the mk block DMAs across
-    steps; per-block candidates accumulate in VMEM scratch (which persists
-    across grid steps) and the final block's step does the exact merge.
-    ``pl.when`` skips the scoring for blocks past the bank fill pointer."""
+    steps.  A running top-k lives in VMEM scratch (which persists across
+    grid steps): each LIVE block extracts its top-k and merges with the
+    running set over just 2k columns — dead blocks (past the bank fill
+    pointer) skip both, so big mostly-empty banks cost almost nothing.
+    Ties keep incumbents (earlier blocks -> lower indices), the lax.top_k
+    rule."""
     j = pl.program_id(1)
     q = qk_ref[:]
     nq = q.shape[0]
 
     @pl.when(j == 0)
     def _():
-        cand_vals[:] = jnp.full((nq, n_blocks * top_k), NEG_INF, jnp.float32)
-        cand_idx[:] = jnp.zeros((nq, n_blocks * top_k), jnp.int32)
+        run_vals[:] = jnp.full((nq, top_k), NEG_INF, jnp.float32)
+        run_idx[:] = jnp.zeros((nq, top_k), jnp.int32)
 
     @pl.when(j * block_m < valid_ref[0])
     def _():
@@ -223,21 +226,16 @@ def _kernel_grid(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
         blk_vals, blk_idx = _extract_topk(scores, None, top_k,
                                           base=j * block_m)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32,
-                                            (nq, n_blocks * top_k), 1)
-        in_slot = (slot_ids >= j * top_k) & (slot_ids < (j + 1) * top_k)
-        placed_v = _place_block(blk_vals, j, top_k, n_blocks * top_k)
-        placed_i = _place_block(blk_idx.astype(jnp.float32), j, top_k,
-                                n_blocks * top_k)
-        cand_vals[:] = jnp.where(in_slot, placed_v, cand_vals[:])
-        cand_idx[:] = jnp.where(in_slot, placed_i.astype(jnp.int32),
-                                cand_idx[:])
+        cand_vals = jnp.concatenate([run_vals[:], blk_vals], axis=1)
+        cand_idx = jnp.concatenate([run_idx[:], blk_idx], axis=1)
+        mvals, midx = _extract_topk(cand_vals, cand_idx, top_k)
+        run_vals[:] = mvals
+        run_idx[:] = midx
 
     @pl.when(j == n_blocks - 1)
     def _():
-        vals, idx = _extract_topk(cand_vals[:], cand_idx[:], top_k)
-        vals_ref[:] = vals
-        idx_ref[:] = idx
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
 
 
 @functools.partial(jax.jit,
@@ -296,8 +294,8 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
                 jax.ShapeDtypeStruct((np_, top_k), jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((block_q, n_blocks * top_k), jnp.float32),
-                pltpu.VMEM((block_q, n_blocks * top_k), jnp.int32),
+                pltpu.VMEM((block_q, top_k), jnp.float32),
+                pltpu.VMEM((block_q, top_k), jnp.int32),
             ],
             interpret=interpret,
         )(qk_p, mk_p, msq, valid)
