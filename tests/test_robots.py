@@ -68,6 +68,18 @@ class TestClickRobot:
         assert labels.tolist() == [0, 1]
         assert gt[clicks[1][1], clicks[1][0]]
 
+    def test_three_pos_clicks(self):
+        gt = sq(16, 16, 4, 12, 4, 12)
+        coords, labels = self.robot.three_pos_clicks(gt)
+        assert coords.shape == (3, 2)
+        np.testing.assert_array_equal(labels, [1, 1, 1])
+        for x, y in coords:
+            assert gt[y, x]
+        # first/middle/last nonzero pixels in raster order
+        ys, xs = np.nonzero(gt)
+        np.testing.assert_array_equal(coords[0], [xs[0], ys[0]])
+        np.testing.assert_array_equal(coords[2], [xs[-1], ys[-1]])
+
     def test_three_refinement_clicks_order(self):
         gt = sq(64, 64, 0, 10, 0, 10)           # small FN
         pred = sq(64, 64, 30, 64, 30, 64)       # big FP
