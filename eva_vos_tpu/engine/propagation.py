@@ -57,7 +57,8 @@ class VideoFeatures(NamedTuple):
 class PropagationState(NamedTuple):
     prob: jnp.ndarray           # [K+1, T, nh, nw] fp32
     bank_k: jnp.ndarray         # [Mmax, hw, CK]
-    bank_v: jnp.ndarray         # [Mmax, K, hw, CV]
+    bank_v: jnp.ndarray         # [K, Mmax, hw, CV] (object-major:
+    #                               reshaping to [K, Mmax*hw, CV] is free)
     certain_count: jnp.ndarray  # int32 — slots < certain_count are permanent
     interacted: jnp.ndarray     # [T] bool
 
@@ -157,7 +158,7 @@ class InferenceEngine:
         return PropagationState(
             prob=prob,
             bank_k=jnp.zeros((mmax, hw, ck), dtype=dtype),
-            bank_v=jnp.zeros((mmax, num_objects, hw, cv), dtype=dtype),
+            bank_v=jnp.zeros((num_objects, mmax, hw, cv), dtype=dtype),
             certain_count=jnp.asarray(0, jnp.int32),
             interacted=jnp.zeros((t,), dtype=bool),
         )
@@ -169,12 +170,12 @@ class InferenceEngine:
         """Top-k memory read + decode for frame ``ti`` -> [K, nh, nw] probs."""
         cfg = self.config
         mmax, hw, ck = bank_k.shape
-        k_obj = bank_v.shape[1]
+        k_obj = bank_v.shape[0]
         cv = bank_v.shape[-1]
 
         qk = feats.k16[ti]                       # [hw, CK]
         mk = bank_k.reshape(mmax * hw, ck)
-        mv = jnp.transpose(bank_v, (1, 0, 2, 3)).reshape(k_obj, mmax * hw, cv)
+        mv = bank_v.reshape(k_obj, mmax * hw, cv)  # layout makes this free
 
         top_k = min(cfg.top_k, mmax * hw)
         readout = memory_readout(
@@ -255,7 +256,8 @@ class InferenceEngine:
                 val = self._encode_value(feats, ti, out[1:].astype(bank_v.dtype))
                 bank_k = jax.lax.dynamic_update_index_in_dim(
                     bank_k, feats.k16[ti], front, 0)
-                bank_v = jax.lax.dynamic_update_index_in_dim(bank_v, val, front, 0)
+                bank_v = jax.lax.dynamic_update_slice_in_dim(
+                    bank_v, val[:, None], front, 1)
                 return bank_k, bank_v, front + 1, ti
 
             bank_k, bank_v, front, last_ti = jax.lax.cond(
@@ -294,13 +296,13 @@ class InferenceEngine:
         """
         cfg = self.config
         mmax, hw, ck = bank_k.shape
-        k_obj = bank_v.shape[1]
+        k_obj = bank_v.shape[0]
         cv = bank_v.shape[-1]
         b = tis.shape[0]
 
         qk = feats.k16[tis].reshape(b * hw, ck)       # one big query set
         mk = bank_k.reshape(mmax * hw, ck)
-        mv = jnp.transpose(bank_v, (1, 0, 2, 3)).reshape(k_obj, mmax * hw, cv)
+        mv = bank_v.reshape(k_obj, mmax * hw, cv)  # layout makes this free
 
         top_k = min(cfg.top_k, mmax * hw)
         readout = memory_readout(
@@ -380,8 +382,8 @@ class InferenceEngine:
                     feats, ti_s, out[bsz - 1, 1:].astype(bank_v.dtype))
                 bank_k = jax.lax.dynamic_update_index_in_dim(
                     bank_k, feats.k16[ti_s], front, 0)
-                bank_v = jax.lax.dynamic_update_index_in_dim(
-                    bank_v, val, front, 0)
+                bank_v = jax.lax.dynamic_update_slice_in_dim(
+                    bank_v, val[:, None], front, 1)
                 return bank_k, bank_v, front + 1
 
             bank_k, bank_v, front = jax.lax.cond(

@@ -127,13 +127,16 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
     else:
         w, idx = memory_affinity_topk(mk, qk, top_k, valid_tokens)
 
-    if strategy == "gather":
-        # [K, N, top_k, CV] gather then weighted sum over top_k.
+    if strategy in ("gather", "pallas"):
+        # [K, N, top_k, CV] gather then weighted sum over top_k.  O(N*k*CV)
+        # regardless of bank size — the dense-scatter alternative
+        # materializes [N, M] fp32, which explodes for big interactive
+        # banks (72 slots -> 3.8 GB per readout).
         gathered = mv[:, idx, :]  # [K, N, top_k, CV]
         out = jnp.einsum(
             "nk,bnkc->bnc", w.astype(jnp.float32), gathered.astype(jnp.float32)
         )
-    elif strategy in ("scatter", "pallas"):
+    elif strategy == "scatter":
         n, m = qk.shape[0], mk.shape[0]
         dense = jnp.zeros((n, m), dtype=jnp.float32).at[
             jnp.arange(n)[:, None], idx
