@@ -439,7 +439,8 @@ class InferenceEngine:
         val_tokens = self._encode_value(feats, idx, mask.astype(feats.k16.dtype))
         cc = state.certain_count
         bank_k = jax.lax.dynamic_update_index_in_dim(state.bank_k, key_tokens, cc, 0)
-        bank_v = jax.lax.dynamic_update_index_in_dim(state.bank_v, val_tokens, cc, 0)
+        bank_v = jax.lax.dynamic_update_slice_in_dim(
+            state.bank_v, val_tokens[:, None], cc, 1)
 
         state = PropagationState(
             prob=prob, bank_k=bank_k, bank_v=bank_v,
