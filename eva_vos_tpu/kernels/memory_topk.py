@@ -358,7 +358,7 @@ def pallas_supported() -> bool:
             qk = jnp.asarray(np.random.default_rng(1)
                              .standard_normal((128, 64)), jnp.float32)
             w, i = pallas_memory_topk(mk, qk, top_k=50, block_q=128,
-                                      block_m=2048, method="iterative")
+                                      block_m=2048, method="grid")
             jax.block_until_ready(w)
             from ..ops.memory_attention import memory_affinity_topk
 

@@ -5,6 +5,7 @@ from .masks import all_to_onehot, masks_to_boxes
 from .memory_attention import (
     memory_readout,
     memory_affinity_topk,
+    memory_affinity_topk_gauss,
     full_softmax_affinity,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "masks_to_boxes",
     "memory_readout",
     "memory_affinity_topk",
+    "memory_affinity_topk_gauss",
     "full_softmax_affinity",
 ]
