@@ -151,6 +151,25 @@ def test_engine_matches_oracle(k_objects, block_frames):
     assert np.asarray(state.interacted).sum() == 3
 
 
+def test_readout_strategies_agree():
+    """gather and scatter readouts must produce identical propagation."""
+    stcn, fusion, sp, fp, _ = build(1)
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=9)
+    padded, pad = prepare_video(images)
+
+    probs = []
+    for strategy in ("gather", "scatter"):
+        cfg = EngineConfig(mem_freq=MEM_FREQ, top_k=TOP_K, max_interactions=4,
+                           feature_chunk=2, readout_strategy=strategy)
+        engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
+        feats = engine.precompute_features(padded)
+        state = engine.init_state(feats, 1)
+        state = engine.interact(state, feats,
+                                pad_mask(masks[:, 0].astype(np.float32), pad), 0)
+        probs.append(np.asarray(state.prob))
+    np.testing.assert_allclose(probs[0], probs[1], rtol=1e-4, atol=1e-5)
+
+
 def test_propagation_tracks_moving_object():
     """With *trained-free* random nets we can't check quality, but the engine
     must at least produce valid distributions and mark state correctly."""
