@@ -64,6 +64,11 @@ def run(quick: bool = False):
     cfg = EngineConfig(mem_freq=5, top_k=top_k, max_interactions=4,
                        feature_chunk=2)
     engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
+    import sys
+
+    print(f"[bench] readout strategy: {engine.config.readout_strategy} "
+          f"(pallas kernel probe {'passed' if engine.config.readout_strategy == 'pallas' else 'not used'})",
+          file=sys.stderr)
 
     images, masks = synthetic_video(t, h, w, num_objects=1, seed=0)
     padded, pad = prepare_video(images, dtype=dtype)

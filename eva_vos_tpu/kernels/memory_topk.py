@@ -13,9 +13,18 @@ necessarily in its own block's top-k.  Ties resolve toward lower indices
 (blocks are scanned in order and the merge prefers the incumbent on equal
 values), matching ``lax.top_k``.
 
-The grid dimension iterates over query tiles; memory blocks stream inside
-the kernel via ``fori_loop`` over VMEM-resident slices of the (ANY-space)
-bank.  Scores accumulate in fp32.
+Three variants (``method=``):
+* ``grid`` (production): memory blocks are the fastest-varying GRID
+  dimension — Mosaic pipelines the block DMAs; a running top-k lives in
+  VMEM scratch across grid steps; blocks past the bank fill pointer skip
+  both scoring and merging via ``pl.when``.
+* ``iterative``: in-kernel ``fori_loop`` over blocks with an end-merge.
+* ``sort``: ``lax.top_k`` inside the kernel — unimplemented in Mosaic on
+  TPU (kept as the interpret-mode reference).
+
+Selection is sort-free: k (max, argmax, mask-out) passes per block.
+Scores accumulate in fp32; on fp32 inputs the dots use Precision.HIGHEST
+(the default MXU fp32 path rounds through bf16 and perturbs selection).
 """
 
 from __future__ import annotations
