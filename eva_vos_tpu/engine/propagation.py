@@ -95,15 +95,10 @@ class InferenceEngine:
         self.fusion = fusion
         self.stcn_params = stcn_params
         self.fusion_params = fusion_params
-        if config.readout_strategy == "auto":
-            from ..kernels import pallas_supported
+        from ..ops.memory_attention import resolve_strategy
 
-            # tunneled TPUs may report a plugin backend name (e.g. 'axon'),
-            # so gate on not-CPU and let the probe decide
-            on_accel = jax.default_backend() != "cpu"
-            config = config._replace(
-                readout_strategy="pallas" if on_accel and pallas_supported()
-                else "scatter")
+        config = config._replace(
+            readout_strategy=resolve_strategy(config.readout_strategy))
         self.config = config
 
         self._precompute_jit = jax.jit(self._precompute, static_argnames=("chunk",))

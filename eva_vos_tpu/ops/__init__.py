@@ -4,6 +4,7 @@ from .normalize import IMAGENET_MEAN, IMAGENET_STD, im_normalize, im_denormalize
 from .masks import all_to_onehot, masks_to_boxes
 from .memory_attention import (
     memory_readout,
+    resolve_strategy,
     memory_affinity_topk,
     memory_affinity_topk_gauss,
     full_softmax_affinity,
@@ -24,6 +25,7 @@ __all__ = [
     "all_to_onehot",
     "masks_to_boxes",
     "memory_readout",
+    "resolve_strategy",
     "memory_affinity_topk",
     "memory_affinity_topk_gauss",
     "full_softmax_affinity",

@@ -43,6 +43,22 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def resolve_strategy(strategy: str = "auto") -> str:
+    """Resolve the production readout strategy for the current backend.
+
+    'auto' -> 'pallas' when the streaming kernel compiles on this backend
+    (TPU; tunneled TPUs may report a plugin name, so gate on not-CPU and a
+    compile probe), else 'scatter' (MXU densify).  Used by both the engine
+    and the driver's graded ``entry()`` so they measure the same path.
+    """
+    if strategy != "auto":
+        return strategy
+    from ..kernels import pallas_supported
+
+    on_accel = jax.default_backend() != "cpu"
+    return "pallas" if on_accel and pallas_supported() else "scatter"
+
+
 def _scores(mk: jnp.ndarray, qk: jnp.ndarray, valid_tokens=None) -> jnp.ndarray:
     """Affinity scores [N, M] in fp32 (memory axis last).
 
