@@ -84,7 +84,10 @@ class InferenceEngine:
     Parameters
     ----------
     stcn: a bound-able ``PropagationNetwork`` module
-    fusion: a ``FusionNet`` module (or None to disable fusion)
+    fusion: a ``FusionNet`` module, or None to disable fusion entirely —
+        passes between two interacted frames then keep the fresh
+        prediction instead of blending with the prior one (the reference
+        always fuses there, ``inference_core.py:193-207``)
     stcn_params / fusion_params: flax variable collections
     config: engine knobs
     """
@@ -270,7 +273,13 @@ class InferenceEngine:
                 return self._fuse_frame(feats, prev, out, attn,
                                         closest_ti, idx, ti)
 
-            new_prob_ti = jax.lax.cond(needs_fusion, fused, lambda _: out, None)
+            # static python branch: lax.cond traces BOTH sides, so the fused
+            # branch must not exist at all when no fusion net is configured
+            if self.fusion is None:
+                new_prob_ti = out
+            else:
+                new_prob_ti = jax.lax.cond(needs_fusion, fused,
+                                           lambda _: out, None)
             prob = jax.lax.dynamic_update_index_in_dim(prob, new_prob_ti, ti, 1)
             return prob, bank_k, bank_v, front, last_ti
 
@@ -386,12 +395,17 @@ class InferenceEngine:
 
             prev = jnp.moveaxis(prob[:, tis_safe], 1, 0)  # [B, K+1, nh, nw]
 
-            new_cols = jax.lax.cond(
-                needs_fusion,
-                lambda _: self._fuse_frames_batched(
-                    feats, prev, out, key_k16, pos_diff, neg_diff,
-                    closest_ti, idx, tis_safe),
-                lambda _: out, None)
+            # static python branch: both lax.cond sides trace, so skip the
+            # fused side entirely when no fusion net is configured
+            if self.fusion is None:
+                new_cols = out
+            else:
+                new_cols = jax.lax.cond(
+                    needs_fusion,
+                    lambda _: self._fuse_frames_batched(
+                        feats, prev, out, key_k16, pos_diff, neg_diff,
+                        closest_ti, idx, tis_safe),
+                    lambda _: out, None)
 
             for j in range(bsz):
                 cur = jax.lax.dynamic_index_in_dim(prob, tis_safe[j], axis=1,
@@ -455,6 +469,16 @@ class InferenceEngine:
     def interact(self, state: PropagationState, feats: VideoFeatures,
                  mask, idx) -> PropagationState:
         """Public entry: mask [K, nh, nw] (padded res), idx int."""
+        # host-side capacity check: the bank reserves max_interactions
+        # certain slots; past that, dynamic_update would silently clamp into
+        # the transient region and corrupt results (ADVICE r1)
+        cc = int(state.certain_count)
+        if cc >= self.config.max_interactions:
+            raise ValueError(
+                f"memory bank certain-slot capacity exhausted: "
+                f"{cc} interactions recorded, "
+                f"EngineConfig.max_interactions={self.config.max_interactions}"
+                f" — raise max_interactions when creating the engine")
         return self._interact_jit(state, feats, mask,
                                   jnp.asarray(idx, jnp.int32))
 

@@ -182,9 +182,14 @@ def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
         run_vals, run_idx = carry
         mk_blk = mk_ref[pl.ds(b * block_m, block_m), :]      # [Bm, CK]
         msq_blk = msq_ref[pl.ds(b * block_m, block_m)]       # [Bm]
+        # same dtype-dependent precision rule as the other variants / the
+        # XLA oracle: fp32 needs HIGHEST or the MXU rounds through bf16 and
+        # can perturb top-k selection
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         dot = jax.lax.dot_general(
             q, mk_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
         scores = (2.0 * dot - msq_blk[None, :]) / scale      # [Qt, Bm]
 
         token_ids = b * block_m + jax.lax.broadcasted_iota(

@@ -64,23 +64,34 @@ void largest_component_center(const uint8_t* mask, int h, int w,
         }
     }
 
-    // accumulate per-root counts and coordinate sums
+    // accumulate per-root counts and coordinate sums; remember each root's
+    // first pixel (raster order) so ties can resolve like ndimage.label +
+    // argmax: labels are assigned in first-encounter order and argmax
+    // returns the lowest label id on equal counts
     std::vector<long long> count(n, 0);
     std::vector<long long> sum_x(n, 0), sum_y(n, 0);
-    long long best = 0;
-    int32_t best_root = -1;
+    std::vector<int32_t> first_seen;
+    first_seen.reserve(64);
     for (int y = 0; y < h; ++y) {
         for (int x = 0; x < w; ++x) {
             const int i = y * w + x;
             if (!mask[i]) continue;
             const int32_t r = uf.find(i);
+            if (count[r] == 0) first_seen.push_back(r);
             count[r] += 1;
             sum_x[r] += x;
             sum_y[r] += y;
-            if (count[r] > best) {
-                best = count[r];
-                best_root = r;
-            }
+        }
+    }
+
+    // pick the largest component; iterating roots in first-encounter order
+    // with a strict '>' gives the earliest-first-pixel winner on ties
+    long long best = 0;
+    int32_t best_root = -1;
+    for (const int32_t r : first_seen) {
+        if (count[r] > best) {
+            best = count[r];
+            best_root = r;
         }
     }
 

@@ -170,6 +170,50 @@ def test_readout_strategies_agree():
     np.testing.assert_allclose(probs[0], probs[1], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("block_frames", [False, True])
+def test_fusion_none_disables_blending(block_frames):
+    """fusion=None must trace and run (ADVICE r1: lax.cond traced the fused
+    branch and crashed); between-interaction passes keep the fresh
+    prediction instead of blending."""
+    stcn, fusion, sp, fp, _ = build(1, block_frames)
+    cfg = EngineConfig(mem_freq=MEM_FREQ, top_k=TOP_K, max_interactions=4,
+                       feature_chunk=2, block_frames=block_frames)
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=7)
+    padded, pad = prepare_video(images)
+
+    engine = InferenceEngine(stcn, None, sp, None, cfg)
+    feats = engine.precompute_features(padded)
+    state = engine.init_state(feats, 1)
+    # second interaction triggers a between-interacted-frames pass, the one
+    # that would have entered the fused branch
+    state = engine.interact(state, feats,
+                            pad_mask(masks[:, 0].astype(np.float32), pad), 0)
+    state = engine.interact(
+        state, feats, pad_mask(masks[:, T - 1].astype(np.float32), pad), T - 1)
+    prob = np.asarray(state.prob)
+    assert np.isfinite(prob).all()
+    np.testing.assert_allclose(prob[:, 1:-1].sum(0), 1.0, atol=1e-4)
+
+
+def test_interact_capacity_error():
+    """Exceeding max_interactions certain slots must raise loudly, not
+    silently clamp into the transient bank region (ADVICE r1)."""
+    stcn, fusion, sp, fp, _ = build(1)
+    cfg = EngineConfig(mem_freq=MEM_FREQ, top_k=TOP_K, max_interactions=2,
+                       feature_chunk=2)
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=11)
+    padded, pad = prepare_video(images)
+    engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
+    feats = engine.precompute_features(padded)
+    state = engine.init_state(feats, 1)
+    for idx in (0, T - 1):
+        state = engine.interact(
+            state, feats, pad_mask(masks[:, idx].astype(np.float32), pad), idx)
+    with pytest.raises(ValueError, match="capacity"):
+        engine.interact(state, feats,
+                        pad_mask(masks[:, 2].astype(np.float32), pad), 2)
+
+
 def test_propagation_tracks_moving_object():
     """With *trained-free* random nets we can't check quality, but the engine
     must at least produce valid distributions and mark state correctly."""

@@ -57,6 +57,20 @@ class TestLargestComponent:
         want = scipy_largest_center(m)
         assert got == want
 
+    def test_size_tie_interleaved_components(self):
+        # ADVICE r1: equal-size components where the later-STARTING one
+        # finishes its pixels earlier in the raster scan.  A (col 0, rows
+        # 0-4) starts first but completes at (4,0); B (row 0, cols 5-9)
+        # starts later yet completes at (0,9).  The winner must be A
+        # (earliest first pixel = lowest ndimage label), not B (earliest
+        # completion).
+        m = np.zeros((10, 12), bool)
+        m[0:5, 0] = True
+        m[0, 5:10] = True
+        got = native.largest_component_center(m)
+        want = scipy_largest_center(m)
+        assert got == want
+
 
 class TestNearestTrue:
     def test_inside(self):
