@@ -252,20 +252,110 @@ def _kernel_grid(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         idx_ref[:] = run_idx[:]
 
 
+def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
+                       run_vals, run_idx, *, block_m: int, top_k: int,
+                       scale: float, n_blocks: int, rounds: int):
+    """Tournament variant: the per-block top-k extraction is the engine's
+    VPU bottleneck (k sequential full-width max/argmax/mask passes — 85% of
+    a blocked propagation step).  This kernel replaces it with
+
+    1. a LANE-GROUP tournament: scores reshape to [Q, G, 128] (one vreg row
+       per group) and ``rounds`` max/argmax/mask passes pull the top-R of
+       every group — R full-width passes instead of k,
+    2. an exact top-k extraction over the G*R candidates (1/32 the width),
+    3. a VERIFICATION count: tau = k-th candidate value; if
+       #{s >= tau} == #{candidates >= tau} for every query, the candidate
+       set provably contains every element >= tau, so the selection is
+       exact (including lax.top_k tie order: groups are contiguous id
+       ranges, rounds within a group emit ascending ids, and the candidate
+       buffer is group-major),
+    4. an ESCALATION fallback (lax.cond) to the full-width extraction for
+       the rare tile where a single group hides more than ``rounds``
+       global winners.
+
+    ~7x fewer VPU ops than the grid kernel at production geometry, still
+    bit-exact against the XLA oracle.
+    """
+    j = pl.program_id(1)
+    q = qk_ref[:]
+    nq = q.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        run_vals[:] = jnp.full((nq, top_k), NEG_INF, jnp.float32)
+        run_idx[:] = jnp.zeros((nq, top_k), jnp.int32)
+
+    @pl.when(j * block_m < valid_ref[0])
+    def _():
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        dot = jax.lax.dot_general(
+            q, mk_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        scores = (2.0 * dot - msq_ref[:][None, :]) / scale
+        token_ids = j * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (nq, block_m), 1)
+        scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
+
+        lanes = 128 if block_m % 128 == 0 else block_m
+        g = block_m // lanes
+        s3 = scores.reshape(nq, g, lanes)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (nq, g, lanes), 2)
+        group_base = j * block_m + lanes * jax.lax.broadcasted_iota(
+            jnp.int32, (nq, g), 1)
+
+        cand_v, cand_i = [], []
+        for _ in range(rounds):
+            m = jnp.max(s3, axis=-1)                          # [Q, G]
+            am = jnp.argmax(s3, axis=-1).astype(jnp.int32)    # [Q, G]
+            cand_v.append(m)
+            cand_i.append(group_base + am)
+            s3 = jnp.where(lane_ids == am[..., None], NEG_INF, s3)
+        # group-major, round-minor: positions ordered by token id for ties
+        cand_v = jnp.stack(cand_v, axis=-1).reshape(nq, g * rounds)
+        cand_i = jnp.stack(cand_i, axis=-1).reshape(nq, g * rounds)
+
+        tv, ti = _extract_topk(cand_v, cand_i, top_k)
+        tau = tv[:, top_k - 1:top_k]
+        n_ge = jnp.sum((scores >= tau).astype(jnp.float32), axis=1)
+        c_ge = jnp.sum((cand_v >= tau).astype(jnp.float32), axis=1)
+        exact = jnp.all(n_ge == c_ge)
+
+        blk_vals, blk_idx = jax.lax.cond(
+            exact, lambda _: (tv, ti),
+            lambda _: _extract_topk(scores, None, top_k, base=j * block_m),
+            None)
+
+        cat_v = jnp.concatenate([run_vals[:], blk_vals], axis=1)
+        cat_i = jnp.concatenate([run_idx[:], blk_idx], axis=1)
+        mvals, midx = _extract_topk(cat_v, cat_i, top_k)
+        run_vals[:] = mvals
+        run_idx[:] = midx
+
+    @pl.when(j == n_blocks - 1)
+    def _():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "block_q", "block_m",
-                                    "interpret", "method"))
+                                    "interpret", "method", "return_raw"))
 def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
                        block_q: int = 256, block_m: int = 2048,
-                       interpret: bool = False, method: str = "iterative"):
+                       interpret: bool = False, method: str = "iterative",
+                       return_raw: bool = False):
     """Streaming top-k scores.
 
-    mk [M, CK], qk [N, CK] -> (weights [N, top_k] fp32, idx [N, top_k]).
+    mk [M, CK], qk [N, CK] -> (weights [N, top_k] fp32, idx [N, top_k]);
+    with ``return_raw`` the raw selection scores come back instead of the
+    softmax weights (the fused readout kernel needs them for its gate).
     N must divide into block_q tiles after padding; M pads to block_m.
 
     method:
       'iterative' — sort-free k-max extraction (the fast path; XLA's
                     top_k sort costs 85% of a propagation step on v5e)
+      'grid'      — memory blocks as a pipelined grid dimension (production)
       'sort'      — lax.top_k inside the kernel (needs Mosaic sort support)
     """
     n, ck = qk.shape
@@ -282,11 +372,21 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
 
     np_, mp_ = n + pad_n, m + pad_m
 
-    if method == "grid":
+    if method in ("grid", "tournament"):
         n_blocks = mp_ // block_m
+        if method == "tournament":
+            g = max(block_m // 128, 1)
+            rounds = max(4, -(-top_k // g))  # ceil; verify/escalate keeps
+            #                                   exactness when G*R < k anyway
+            kernel = functools.partial(
+                _kernel_tournament, block_m=block_m, top_k=top_k,
+                scale=scale, n_blocks=n_blocks, rounds=rounds)
+        else:
+            kernel = functools.partial(
+                _kernel_grid, block_m=block_m, top_k=top_k,
+                scale=scale, n_blocks=n_blocks)
         vals, idx = pl.pallas_call(
-            functools.partial(_kernel_grid, block_m=block_m, top_k=top_k,
-                              scale=scale, n_blocks=n_blocks),
+            kernel,
             grid=(np_ // block_q, n_blocks),
             in_specs=[
                 pl.BlockSpec((block_q, ck), lambda i, j: (i, 0),
@@ -315,6 +415,8 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
         )(qk_p, mk_p, msq, valid)
         vals = vals[:n]
         idx = idx[:n]
+        if return_raw:
+            return vals, idx
         w = jnp.exp(vals - vals[:, :1])
         w = w / jnp.sum(w, axis=1, keepdims=True)
         return w, idx
@@ -349,6 +451,8 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
 
     vals = vals[:n]
     idx = idx[:n]
+    if return_raw:
+        return vals, idx
     w = jnp.exp(vals - vals[:, :1])
     w = w / jnp.sum(w, axis=1, keepdims=True)
     return w, idx

@@ -28,7 +28,7 @@ import flax.linen as nn
 
 from .layers import ResBlock, UpsampleBlock, FeatureFusionBlock, KeyProjection
 from .resnet import ResNetTrunk
-from ..ops.resize import upsample2x, resize_bilinear, area_downsample
+from ..ops.resize import resize_bilinear, area_downsample
 from ..ops.memory_attention import full_softmax_affinity
 
 Dtype = Any
@@ -85,8 +85,11 @@ class Decoder(nn.Module):
         x = UpsampleBlock(512, 256, dtype=self.dtype, name="up_16_8")(f8, x)
         x = UpsampleBlock(256, 256, dtype=self.dtype, name="up_8_4")(f4, x)
         x = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="pred")(nn.relu(x))
-        x = upsample2x(upsample2x(x))  # 4x bilinear
-        return x
+        # single 4x bilinear (two chained 2x passes have different phase
+        # weights than the reference's F.interpolate(scale_factor=4),
+        # prop_net.py:29)
+        h, w = x.shape[-3], x.shape[-2]
+        return resize_bilinear(x, (4 * h, 4 * w))
 
 
 class PropagationNetwork(nn.Module):

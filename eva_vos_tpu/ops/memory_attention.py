@@ -46,17 +46,22 @@ NEG_INF = -1e30
 def resolve_strategy(strategy: str = "auto") -> str:
     """Resolve the production readout strategy for the current backend.
 
-    'auto' -> 'pallas' when the streaming kernel compiles on this backend
-    (TPU; tunneled TPUs may report a plugin name, so gate on not-CPU and a
-    compile probe), else 'scatter' (MXU densify).  Used by both the engine
-    and the driver's graded ``entry()`` so they measure the same path.
+    'auto' -> 'pallas_fused' when the streaming kernels compile on this
+    backend (TPU; tunneled TPUs may report a plugin name, so gate on
+    not-CPU and a compile probe), falling back to 'pallas' (selection
+    kernel + XLA gather) then 'scatter' (MXU densify).  Used by both the
+    engine and the driver's graded ``entry()`` so they measure the same
+    path.
     """
     if strategy != "auto":
         return strategy
-    from ..kernels import pallas_supported
+    from ..kernels import fused_readout_supported, pallas_supported
 
-    on_accel = jax.default_backend() != "cpu"
-    return "pallas" if on_accel and pallas_supported() else "scatter"
+    if jax.default_backend() == "cpu":
+        return "scatter"
+    if fused_readout_supported():
+        return "pallas_fused"
+    return "pallas" if pallas_supported() else "scatter"
 
 
 def _scores(mk: jnp.ndarray, qk: jnp.ndarray, valid_tokens=None) -> jnp.ndarray:
@@ -129,10 +134,18 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
     qk: [N, CK] query keys
     mv: [K, M, CV] memory values (K objects share one affinity)
     strategy: 'gather' (take-rows readout), 'scatter' (densify + MXU
-    matmul), or 'pallas' (sort-free streaming selection kernel — the fast
-    TPU path; XLA's top_k sort otherwise dominates propagation).
+    matmul), 'pallas' (streaming selection kernel + XLA gather readout),
+    or 'pallas_fused' (streaming selection + threshold-gated streaming
+    readout — the fast TPU path: no index gather, no [N, M] densify;
+    one MXU matmul per memory block).
     Returns [K, N, CV] in mv.dtype.
     """
+    if strategy == "pallas_fused":
+        from ..kernels.memory_readout import pallas_fused_readout
+
+        return pallas_fused_readout(
+            mk, qk, mv, top_k, valid_tokens,
+            block_m=min(pallas_block_m, max(mk.shape[0], 128)))
     if strategy == "pallas":
         from ..kernels.memory_topk import pallas_memory_topk
 

@@ -1,0 +1,109 @@
+"""Threshold-gated streaming readout kernel vs the XLA oracle (interpret
+mode on CPU).  Exactness matters: the gated set must equal the lax.top_k
+selected set including tie handling."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eva_vos_tpu.kernels.memory_readout import pallas_fused_readout
+from eva_vos_tpu.ops import memory_readout
+
+
+@pytest.mark.parametrize("k_obj", [1, 2])
+@pytest.mark.parametrize("m,n,ck,cv,top_k",
+                         [(512, 64, 16, 32, 8), (768, 100, 32, 16, 16)])
+def test_matches_xla_oracle(rng, m, n, ck, cv, top_k, k_obj):
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((k_obj, m, cv)).astype(np.float32))
+
+    ref = memory_readout(mk, qk, mv, top_k=top_k, strategy="gather")
+    out = pallas_fused_readout(mk, qk, mv, top_k=top_k, block_q=32,
+                               block_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_valid_tokens(rng):
+    m, n, ck, cv, top_k = 256, 16, 8, 24, 5
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((1, m, cv)).astype(np.float32))
+    ref = memory_readout(mk, qk, mv, top_k=top_k, valid_tokens=100,
+                         strategy="gather")
+    out = pallas_fused_readout(mk, qk, mv, top_k=top_k, valid_tokens=100,
+                               block_q=16, block_m=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fewer_valid_than_topk(rng):
+    """valid < top_k: every valid token is selected; the NEG_INF-padded
+    tail must contribute exactly zero."""
+    m, n, ck, cv, top_k = 128, 8, 8, 16, 16
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((1, m, cv)).astype(np.float32))
+    ref = memory_readout(mk, qk, mv, top_k=top_k, valid_tokens=9,
+                         strategy="gather")
+    out = pallas_fused_readout(mk, qk, mv, top_k=top_k, valid_tokens=9,
+                               block_q=8, block_m=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ties_at_threshold(rng):
+    """Duplicate scores straddling the k-th slot: the gate must admit only
+    the lax.top_k winners (lowest token ids among ties)."""
+    m, n, ck, cv, top_k = 64, 4, 8, 8, 4
+    base = rng.standard_normal((8, ck)).astype(np.float32)
+    # every memory row duplicated 8x -> massive score ties everywhere
+    mk = jnp.asarray(np.tile(base, (8, 1)))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((1, m, cv)).astype(np.float32))
+    ref = memory_readout(mk, qk, mv, top_k=top_k, strategy="gather")
+    out = pallas_fused_readout(mk, qk, mv, top_k=top_k, block_q=4,
+                               block_m=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_padding_of_n(rng):
+    m, n, ck, cv, top_k = 128, 37, 8, 16, 4
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    mv = jnp.asarray(rng.standard_normal((1, m, cv)).astype(np.float32))
+    ref = memory_readout(mk, qk, mv, top_k=top_k, strategy="gather")
+    out = pallas_fused_readout(mk, qk, mv, top_k=top_k, block_q=16,
+                               block_m=64, interpret=True)
+    assert out.shape == (1, n, cv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_inputs(rng):
+    """Production dtype: bf16 keys/values, fp32 accumulation."""
+    m, n, ck, cv, top_k = 512, 32, 16, 32, 8
+    mk = jnp.asarray(rng.standard_normal((m, ck)), jnp.bfloat16)
+    qk = jnp.asarray(rng.standard_normal((n, ck)), jnp.bfloat16)
+    mv = jnp.asarray(rng.standard_normal((1, m, cv)), jnp.bfloat16)
+    ref = memory_readout(mk, qk, mv, top_k=top_k, strategy="gather")
+    out = pallas_fused_readout(mk, qk, mv, top_k=top_k, block_q=32,
+                               block_m=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_memory_readout_strategy_dispatch(rng):
+    """ops.memory_readout(strategy='pallas_fused') routes to the kernel (on
+    CPU the kernel runs via interpret probe only, so call it directly in
+    interpret mode through the kernels module)."""
+    from eva_vos_tpu.ops.memory_attention import resolve_strategy
+
+    # explicit strategies pass through untouched
+    assert resolve_strategy("pallas_fused") == "pallas_fused"
+    assert resolve_strategy("scatter") == "scatter"
+    # auto on CPU falls back to scatter
+    assert resolve_strategy("auto") == "scatter"

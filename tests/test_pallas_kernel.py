@@ -8,7 +8,7 @@ from eva_vos_tpu.kernels import pallas_memory_topk
 from eva_vos_tpu.ops import memory_affinity_topk
 
 
-@pytest.mark.parametrize("method", ["sort", "iterative", "grid"])
+@pytest.mark.parametrize("method", ["sort", "iterative", "grid", "tournament"])
 @pytest.mark.parametrize("m,n,ck,top_k", [(512, 64, 16, 8), (768, 100, 32, 16)])
 def test_matches_xla_oracle(rng, m, n, ck, top_k, method):
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
@@ -34,6 +34,37 @@ def test_bf16_inputs_match_xla(rng):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
                                rtol=2e-2, atol=1e-3)
+
+
+def test_tournament_escalation_exact(rng):
+    """All global winners packed into ONE lane group: the tournament's
+    verification must detect the miss and escalate to the full extraction,
+    keeping the result exact."""
+    m, n, ck, top_k = 512, 32, 16, 16
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    mk[20:40] *= 30.0  # 20 dominant tokens inside lanes [0,128)
+    mk = jnp.asarray(mk)
+    qk = jnp.asarray(30.0 * rng.standard_normal((n, ck)).astype(np.float32))
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k)
+    w, i = pallas_memory_topk(mk, qk, top_k, block_q=32, block_m=512,
+                              interpret=True, method="tournament")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tournament_tie_order(rng):
+    """Duplicated memory rows (ties everywhere, within and across groups):
+    tournament candidate ordering must reproduce lax.top_k's lowest-index
+    tie rule."""
+    m, n, ck, top_k = 512, 16, 8, 12
+    base = rng.standard_normal((64, ck)).astype(np.float32)
+    mk = jnp.asarray(np.tile(base, (8, 1)))  # every row appears 8x
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k)
+    w, i = pallas_memory_topk(mk, qk, top_k, block_q=16, block_m=256,
+                              interpret=True, method="tournament")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
 
 
 def test_valid_tokens(rng):

@@ -1,0 +1,158 @@
+"""Minimal torchvision-compatible stand-in for parity tests.
+
+The reference imports ``torchvision.models`` resnets (and ViT names) but
+this image has no torchvision.  This module implements the standard
+torchvision ResNet (v1.5: stride on the Bottleneck's 3x3) with
+state-dict keys identical to torchvision's (`conv1`, `bn1`,
+`layerX.Y.convZ/bnZ`, `layerX.Y.downsample.0/1`, `fc`), registers itself
+as ``sys.modules['torchvision']`` and exposes the handful of names the
+reference touches.  Weights enums are accepted and ignored — parity tests
+convert whatever random init comes out.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import torch
+import torch.nn as nn
+
+
+def conv3x3(cin, cout, stride=1):
+    return nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+
+
+def conv1x1(cin, cout, stride=1):
+    return nn.Conv2d(cin, cout, 1, stride=stride, bias=False)
+
+
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = conv3x3(inplanes, planes, stride)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = conv3x3(planes, planes)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = conv1x1(inplanes, planes)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = conv3x3(planes, planes, stride)  # v1.5: stride here
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = conv1x1(planes, planes * self.expansion)
+        self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    def __init__(self, block, layers, num_classes=1000):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(block, 64, layers[0])
+        self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+        self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+        self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+    def _make_layer(self, block, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                conv1x1(self.inplanes, planes * block.expansion, stride),
+                nn.BatchNorm2d(planes * block.expansion))
+        mods = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * block.expansion
+        mods += [block(self.inplanes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*mods)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x)
+
+
+def resnet18(weights=None, **kw):
+    return ResNet(BasicBlock, [2, 2, 2, 2])
+
+
+def resnet50(weights=None, **kw):
+    return ResNet(Bottleneck, [3, 4, 6, 3])
+
+
+def resnet101(weights=None, **kw):
+    return ResNet(Bottleneck, [3, 4, 23, 3])
+
+
+class _WeightsEnum:
+    DEFAULT = None
+
+
+def _vit_unavailable(*a, **kw):
+    raise NotImplementedError("ViT stub: not needed by these parity tests")
+
+
+def install():
+    """Register the stub as torchvision in sys.modules (idempotent)."""
+    if "torchvision" in sys.modules and getattr(
+            sys.modules["torchvision"], "_EVAVOS_STUB", False):
+        return sys.modules["torchvision"]
+
+    tv = types.ModuleType("torchvision")
+    tv._EVAVOS_STUB = True
+    models = types.ModuleType("torchvision.models")
+    for name, fn in [("resnet18", resnet18), ("resnet50", resnet50),
+                     ("resnet101", resnet101)]:
+        setattr(models, name, fn)
+    for name in ["ResNet18_Weights", "ResNet50_Weights", "ResNet101_Weights",
+                 "ViT_B_16_Weights", "ViT_B_32_Weights", "ViT_L_32_Weights"]:
+        setattr(models, name, _WeightsEnum)
+    for name in ["vit_b_16", "vit_b_32", "vit_l_32"]:
+        setattr(models, name, _vit_unavailable)
+
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.Compose = lambda fns: fns
+    transforms.InterpolationMode = types.SimpleNamespace(
+        BICUBIC="bicubic", BILINEAR="bilinear")
+    for cls in ["Resize", "CenterCrop", "ToTensor", "Normalize"]:
+        setattr(transforms, cls, lambda *a, _c=cls, **kw: (_c, a, kw))
+
+    tv.models = models
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.transforms"] = transforms
+    return tv
