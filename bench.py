@@ -66,8 +66,9 @@ def run(quick: bool = False):
     engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
     import sys
 
-    print(f"[bench] readout strategy: {engine.config.readout_strategy} "
-          f"(pallas kernel probe {'passed' if engine.config.readout_strategy == 'pallas' else 'not used'})",
+    strat = engine.config.readout_strategy
+    probe = "passed" if strat.startswith("pallas") else "not used"
+    print(f"[bench] readout strategy: {strat} (pallas kernel probe {probe})",
           file=sys.stderr)
 
     images, masks = synthetic_video(t, h, w, num_objects=1, seed=0)

@@ -178,11 +178,20 @@ def main(argv=None):
     seed_everything()
     rng = np.random.default_rng(29102910)
 
+    from ..utils import load_report
+
+    load_report.reset()
     models = build_models(args)
     pstr = policy_string(args)
+    # loud degradation marker: a run with ANY random-initialized model can
+    # never be mistaken for a real baseline (column on every row)
+    weights_marker = load_report.weights_marker()
+    if weights_marker == "RANDOM_WEIGHTS":
+        print("[warn] RANDOM_WEIGHTS: some models are random-initialized; "
+              f"report: {load_report.report()}")
 
     results = {"video": [], "mu_metric": [], "annotation_time": [],
-               "round": []}
+               "round": [], "weights": []}
     if args.policy == "eva_vos":
         results.update({"rl_values": [], "round_metrics": [],
                         "annotated_frames": []})
@@ -232,6 +241,7 @@ def main(argv=None):
             mus, times = out
 
         results["video"].extend([sample.name] * len(mus))
+        results["weights"].extend([weights_marker] * len(mus))
         results["mu_metric"].extend(mus)
         results["annotation_time"].extend(times)
         results["round"].extend(range(len(mus)))

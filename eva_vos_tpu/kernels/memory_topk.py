@@ -252,83 +252,117 @@ def _kernel_grid(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         idx_ref[:] = run_idx[:]
 
 
+def _extract_topk_rows(scores, ids, k):
+    """Iterative k-max extraction over axis 0 (token-major orientation).
+
+    scores [C, Q] fp32, ids [C, Q] int32 (global token ids).
+    Ties resolve to the LOWEST id via an explicit min-id reduction (not
+    buffer position), so candidate buffers may be assembled in any order.
+    Returns (vals [k, Q] desc, idx [k, Q]).
+    """
+    c, q = scores.shape
+    big = jnp.int32(2 ** 30)
+    out_row = jax.lax.broadcasted_iota(jnp.int32, (k, q), 0)
+
+    def body(t, carry):
+        scores, vals, idx = carry
+        m = jnp.max(scores, axis=0)                           # [Q]
+        tie = scores == m[None, :]
+        pay = jnp.min(jnp.where(tie, ids, big), axis=0)       # [Q]
+        hit = tie & (ids == pay[None, :])
+        vals = jnp.where(out_row == t, m[None, :], vals)
+        idx = jnp.where(out_row == t, pay[None, :], idx)
+        scores = jnp.where(hit, NEG_INF, scores)
+        return scores, vals, idx
+
+    vals0 = jnp.full((k, q), NEG_INF, jnp.float32)
+    idx0 = jnp.zeros((k, q), jnp.int32)
+    # unroll: each iteration is a short serially-dependent op chain; rolled
+    # fori_loop iterations cost ~1us fixed overhead each on the TPU scalar
+    # core, which dominates the whole selection at production geometry
+    _, vals, idx = jax.lax.fori_loop(0, k, body, (scores, vals0, idx0),
+                                     unroll=True)
+    return vals, idx
+
+
 def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
                        run_vals, run_idx, *, block_m: int, top_k: int,
-                       scale: float, n_blocks: int, rounds: int):
+                       scale: float, n_blocks: int, rounds: int,
+                       group: int):
     """Tournament variant: the per-block top-k extraction is the engine's
     VPU bottleneck (k sequential full-width max/argmax/mask passes — 85% of
-    a blocked propagation step).  This kernel replaces it with
+    a blocked propagation step).  Everything runs TRANSPOSED — scores
+    [Bm, Qt] with queries on lanes — so the token axis can be split on the
+    MAJOR dimension ([G, group, Qt], a free shape cast; Mosaic rejects
+    lane-dim splits):
 
-    1. a LANE-GROUP tournament: scores reshape to [Q, G, 128] (one vreg row
-       per group) and ``rounds`` max/argmax/mask passes pull the top-R of
-       every group — R full-width passes instead of k,
-    2. an exact top-k extraction over the G*R candidates (1/32 the width),
+    1. a token-group tournament: ``rounds`` max/argmax/mask passes over the
+       group axis pull the top-R of every ``group``-token segment — R
+       full-size passes instead of k,
+    2. an exact top-k extraction over the G*R candidates (group/``rounds``
+       times smaller), ties resolved by explicit min-id,
     3. a VERIFICATION count: tau = k-th candidate value; if
        #{s >= tau} == #{candidates >= tau} for every query, the candidate
        set provably contains every element >= tau, so the selection is
-       exact (including lax.top_k tie order: groups are contiguous id
-       ranges, rounds within a group emit ascending ids, and the candidate
-       buffer is group-major),
-    4. an ESCALATION fallback (lax.cond) to the full-width extraction for
+       exact (including lax.top_k tie order via the min-id rule),
+    4. an ESCALATION fallback (lax.cond) to the full-size extraction for
        the rare tile where a single group hides more than ``rounds``
        global winners.
 
-    ~7x fewer VPU ops than the grid kernel at production geometry, still
+    ~6x fewer VPU ops than the grid kernel at production geometry, still
     bit-exact against the XLA oracle.
     """
     j = pl.program_id(1)
-    q = qk_ref[:]
+    q = qk_ref[:]                                             # [Qt, CK]
     nq = q.shape[0]
 
     @pl.when(j == 0)
     def _():
-        run_vals[:] = jnp.full((nq, top_k), NEG_INF, jnp.float32)
-        run_idx[:] = jnp.zeros((nq, top_k), jnp.int32)
+        run_vals[:] = jnp.full((top_k, nq), NEG_INF, jnp.float32)
+        run_idx[:] = jnp.zeros((top_k, nq), jnp.int32)
 
     @pl.when(j * block_m < valid_ref[0])
     def _():
         prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
         dot = jax.lax.dot_general(
-            q, mk_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            mk_ref[:], q, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        scores = (2.0 * dot - msq_ref[:][None, :]) / scale
-        token_ids = j * block_m + jax.lax.broadcasted_iota(
-            jnp.int32, (nq, block_m), 1)
-        scores = jnp.where(token_ids < valid_ref[0], scores, NEG_INF)
+        scores = (2.0 * dot - msq_ref[:][:, None]) / scale    # [Bm, Qt]
+        tok = j * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, nq), 0)
+        scores = jnp.where(tok < valid_ref[0], scores, NEG_INF)
 
-        lanes = 128 if block_m % 128 == 0 else block_m
-        g = block_m // lanes
-        s3 = scores.reshape(nq, g, lanes)
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (nq, g, lanes), 2)
-        group_base = j * block_m + lanes * jax.lax.broadcasted_iota(
-            jnp.int32, (nq, g), 1)
+        g = block_m // group
+        s3 = scores.reshape(g, group, nq)
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (g, group, nq), 1)
+        base = j * block_m + group * jax.lax.broadcasted_iota(
+            jnp.int32, (g, nq), 0)
 
         cand_v, cand_i = [], []
         for _ in range(rounds):
-            m = jnp.max(s3, axis=-1)                          # [Q, G]
-            am = jnp.argmax(s3, axis=-1).astype(jnp.int32)    # [Q, G]
+            m = jnp.max(s3, axis=1)                           # [G, Qt]
+            am = jnp.argmax(s3, axis=1).astype(jnp.int32)     # [G, Qt]
             cand_v.append(m)
-            cand_i.append(group_base + am)
-            s3 = jnp.where(lane_ids == am[..., None], NEG_INF, s3)
-        # group-major, round-minor: positions ordered by token id for ties
-        cand_v = jnp.stack(cand_v, axis=-1).reshape(nq, g * rounds)
-        cand_i = jnp.stack(cand_i, axis=-1).reshape(nq, g * rounds)
+            cand_i.append(base + am)
+            s3 = jnp.where(sub_ids == am[:, None, :], NEG_INF, s3)
+        cand_v = jnp.concatenate(cand_v, axis=0)              # [G*R, Qt]
+        cand_i = jnp.concatenate(cand_i, axis=0)
 
-        tv, ti = _extract_topk(cand_v, cand_i, top_k)
-        tau = tv[:, top_k - 1:top_k]
-        n_ge = jnp.sum((scores >= tau).astype(jnp.float32), axis=1)
-        c_ge = jnp.sum((cand_v >= tau).astype(jnp.float32), axis=1)
+        tv, ti = _extract_topk_rows(cand_v, cand_i, top_k)
+        tau = tv[top_k - 1:top_k, :]                          # [1, Qt]
+        n_ge = jnp.sum((scores >= tau).astype(jnp.float32), axis=0)
+        c_ge = jnp.sum((cand_v >= tau).astype(jnp.float32), axis=0)
         exact = jnp.all(n_ge == c_ge)
 
         blk_vals, blk_idx = jax.lax.cond(
             exact, lambda _: (tv, ti),
-            lambda _: _extract_topk(scores, None, top_k, base=j * block_m),
+            lambda _: _extract_topk_rows(scores, tok, top_k),
             None)
 
-        cat_v = jnp.concatenate([run_vals[:], blk_vals], axis=1)
-        cat_i = jnp.concatenate([run_idx[:], blk_idx], axis=1)
-        mvals, midx = _extract_topk(cat_v, cat_i, top_k)
+        cat_v = jnp.concatenate([run_vals[:], blk_vals], axis=0)
+        cat_i = jnp.concatenate([run_idx[:], blk_idx], axis=0)
+        mvals, midx = _extract_topk_rows(cat_v, cat_i, top_k)
         run_vals[:] = mvals
         run_idx[:] = midx
 
@@ -336,6 +370,52 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
     def _():
         vals_ref[:] = run_vals[:]
         idx_ref[:] = run_idx[:]
+
+
+def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
+                      block_m: int, scale: float, interpret: bool = False):
+    """Tournament selection on PRE-PADDED inputs; returns TRANSPOSED
+    (vals [top_k, Np], idx [top_k, Np]).  Shared by ``pallas_memory_topk``
+    (which transposes back) and the fused gated readout (which consumes the
+    transposed orientation directly so its score recompute is bit-identical
+    to the selection's)."""
+    np_, ck = qk_p.shape
+    mp_ = mk_p.shape[0]
+    n_blocks = mp_ // block_m
+    group = 128 if block_m % 128 == 0 else block_m
+    g = block_m // group
+    rounds = max(4, -(-top_k // g))  # ceil; verify/escalate keeps
+    #                                   exactness when G*R < k anyway
+    return pl.pallas_call(
+        functools.partial(_kernel_tournament, block_m=block_m,
+                          top_k=top_k, scale=scale, n_blocks=n_blocks,
+                          rounds=rounds, group=group),
+        grid=(np_ // block_q, n_blocks),
+        in_specs=[
+            pl.BlockSpec((block_q, ck), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, ck), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m,), lambda i, j: (j,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((top_k, block_q), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((top_k, block_q), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((top_k, np_), jnp.float32),
+            jax.ShapeDtypeStruct((top_k, np_), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((top_k, block_q), jnp.float32),
+            pltpu.VMEM((top_k, block_q), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qk_p, mk_p, msq, valid)
 
 
 @functools.partial(jax.jit,
@@ -372,19 +452,23 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
 
     np_, mp_ = n + pad_n, m + pad_m
 
-    if method in ("grid", "tournament"):
+    if method == "tournament":
+        vals_t, idx_t = tournament_topk_t(
+            qk_p, mk_p, msq, valid, top_k=top_k, block_q=block_q,
+            block_m=block_m, scale=scale, interpret=interpret)
+        vals = vals_t.T[:n]
+        idx = idx_t.T[:n]
+        if return_raw:
+            return vals, idx
+        w = jnp.exp(vals - vals[:, :1])
+        w = w / jnp.sum(w, axis=1, keepdims=True)
+        return w, idx
+
+    if method == "grid":
         n_blocks = mp_ // block_m
-        if method == "tournament":
-            g = max(block_m // 128, 1)
-            rounds = max(4, -(-top_k // g))  # ceil; verify/escalate keeps
-            #                                   exactness when G*R < k anyway
-            kernel = functools.partial(
-                _kernel_tournament, block_m=block_m, top_k=top_k,
-                scale=scale, n_blocks=n_blocks, rounds=rounds)
-        else:
-            kernel = functools.partial(
-                _kernel_grid, block_m=block_m, top_k=top_k,
-                scale=scale, n_blocks=n_blocks)
+        kernel = functools.partial(
+            _kernel_grid, block_m=block_m, top_k=top_k,
+            scale=scale, n_blocks=n_blocks)
         vals, idx = pl.pallas_call(
             kernel,
             grid=(np_ // block_q, n_blocks),

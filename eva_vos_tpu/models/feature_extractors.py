@@ -52,12 +52,22 @@ def eval_transform(images01: np.ndarray, out: int = 224,
     return im_normalize(x)
 
 
-def _load_variables(name: str, init_fn, allow_random: bool):
-    path = Path(DataPaths.weights_root()) / "feature_extractors" / f"{name}.npz"
-    if path.exists():
-        import numpy as np
+def _load_variables(name: str, init_fn, allow_random: bool, convert_fn=None):
+    """Load converted weights for extractor ``name``.
 
-        flat = dict(np.load(path))
+    Accepts either ``<name>.npz`` (flat 'a/b/c'-keyed trees) or a raw torch
+    ``<name>.pth`` checkpoint pushed through ``convert_fn``
+    (``utils.weight_convert.convert_tv_resnet / convert_tv_vit /
+    convert_dinov2``).  Random-init fallbacks are recorded loudly in
+    ``utils.load_report`` so experiment CSVs carry a RANDOM_WEIGHTS marker.
+    """
+    from ..utils import load_report
+
+    root = Path(DataPaths.weights_root()) / "feature_extractors"
+    npz_path = root / f"{name}.npz"
+    pth_path = root / f"{name}.pth"
+    if npz_path.exists():
+        flat = dict(np.load(npz_path))
         # flat 'a/b/c' keys -> nested tree
         tree: dict = {}
         for k, v in flat.items():
@@ -66,17 +76,28 @@ def _load_variables(name: str, init_fn, allow_random: bool):
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(v)
+        load_report.record(f"encoder/{name}", False)
         return {"params": tree.get("params", tree)}
+    if pth_path.exists() and convert_fn is not None:
+        from ..utils.weight_convert import load_torch_state_dict
+
+        variables = convert_fn(load_torch_state_dict(pth_path))
+        load_report.record(f"encoder/{name}", False)
+        return jax.tree.map(jnp.asarray, variables)
     if not allow_random:
         raise FileNotFoundError(
-            f"feature extractor weights {path} not found; "
+            f"feature extractor weights {npz_path} (or .pth) not found; "
             f"pass allow_random=True")
+    load_report.record(f"encoder/{name}", True)
     return init_fn()
 
 
 def build_feature_extractor(name: str, allow_random: bool = False,
                             dtype=jnp.float32):
     """Returns ``extract(images01 [T, H, W, 3]) -> np [T, D]``."""
+    from ..utils.weight_convert import (convert_tv_resnet, convert_tv_vit,
+                                        convert_dinov2)
+
     if name.startswith("resnet"):
         trunk = ResNetTrunk(arch=name, num_stages=4, dtype=dtype)
 
@@ -84,7 +105,9 @@ def build_feature_extractor(name: str, allow_random: bool = False,
             return trunk.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 224, 224, 3), dtype))
 
-        variables = _load_variables(name, init_fn, allow_random)
+        variables = _load_variables(
+            name, init_fn, allow_random,
+            convert_fn=lambda sd: convert_tv_resnet(sd, arch=name))
 
         @jax.jit
         def fwd(x):
@@ -98,13 +121,25 @@ def build_feature_extractor(name: str, allow_random: bool = False,
             "dino": "dino_large"}.get(name)
         if key is None:
             raise AttributeError(f"{name} is invalid!")
-        vit = ViTEncoder(img_size=224, dtype=dtype, **VIT_CONFIGS[key])
+        cfg = VIT_CONFIGS[key]
+        layerscale = key.startswith("dino")
+        vit = ViTEncoder(img_size=224, dtype=dtype, layerscale=layerscale,
+                         **cfg)
 
         def init_fn():
             return vit.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 224, 224, 3), dtype))
 
-        variables = _load_variables(key, init_fn, allow_random)
+        if layerscale:
+            def convert_fn(sd):
+                return convert_dinov2(sd, depth=cfg["depth"],
+                                      heads=cfg["num_heads"])
+        else:
+            def convert_fn(sd):
+                return convert_tv_vit(sd, depth=cfg["depth"],
+                                      heads=cfg["num_heads"])
+
+        variables = _load_variables(key, init_fn, allow_random, convert_fn)
 
         @jax.jit
         def fwd(x):

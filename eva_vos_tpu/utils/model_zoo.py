@@ -14,6 +14,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
+from . import load_report
 from .paths import DataPaths
 from .weight_convert import (load_torch_state_dict, convert_stcn,
                              convert_fusion, convert_qnet,
@@ -21,10 +22,13 @@ from .weight_convert import (load_torch_state_dict, convert_stcn,
 from ..models import PropagationNetwork, FusionNet, QualityNet, ActorCritic
 
 
-def _maybe(path: Path, allow_random: bool):
+def _maybe(path: Path, allow_random: bool, name: str | None = None):
+    name = name or path.stem
     if path.exists():
+        load_report.record(name, False)
         return load_torch_state_dict(path)
     if allow_random:
+        load_report.record(name, True)
         return None
     raise FileNotFoundError(
         f"checkpoint {path} not found; pass allow_random=True for a smoke "

@@ -157,6 +157,33 @@ class Converter:
         self._assign(self.params, (*flax_path, "bias"),
                      _np(self._fetch(f"{torch_prefix}.bias")))
 
+    def mha(self, flax_path, heads, qkv_w, qkv_b, out_w, out_b):
+        """Packed torch attention (in_proj / fused qkv [3D, D] + out proj)
+        -> flax ``nn.MultiHeadDotProductAttention`` params
+        (query/key/value kernels [D, H, Dh], out kernel [H, Dh, D])."""
+        if self.synth:
+            d, h, dh = self._template_leaf(
+                "params", (*flax_path, "query", "kernel")).shape
+            self._ensure(qkv_w, (3 * d, d))
+            self._ensure(qkv_b, (3 * d,))
+            self._ensure(out_w, (d, d))
+            self._ensure(out_b, (d,))
+        w = _np(self._fetch(qkv_w))       # [3D, D]
+        b = _np(self._fetch(qkv_b))       # [3D]
+        d = w.shape[1]
+        dh = d // heads
+        for i, name in enumerate(("query", "key", "value")):
+            wi = w[i * d:(i + 1) * d]     # torch [out, in]
+            self._assign(self.params, (*flax_path, name, "kernel"),
+                         wi.T.reshape(d, heads, dh))
+            self._assign(self.params, (*flax_path, name, "bias"),
+                         b[i * d:(i + 1) * d].reshape(heads, dh))
+        wo = _np(self._fetch(out_w))      # [D, D], y = x @ wo.T
+        self._assign(self.params, (*flax_path, "out", "kernel"),
+                     wo.T.reshape(heads, dh, d))
+        self._assign(self.params, (*flax_path, "out", "bias"),
+                     _np(self._fetch(out_b)))
+
     def variables(self):
         out = {"params": self.params}
         if self.stats:
@@ -297,6 +324,70 @@ def convert_actor_critic(torch_sd, arch="resnet18", template=None) -> dict:
     cv.linear(("value",), "value")
     if _exists(cv, ("cost_proj",), "cost_branch.0.weight"):
         cv.linear(("cost_proj",), "cost_branch.0")
+    return cv.variables()
+
+
+# ---------------------------------------------------------------------------
+# Feature extractors (torchvision ResNet / torchvision ViT / DINOv2)
+# ---------------------------------------------------------------------------
+
+def convert_tv_resnet(torch_sd, arch="resnet18", template=None) -> dict:
+    """torchvision resnetXX state dict -> ``ResNetTrunk(num_stages=4)``
+    variables (reference ``feature_extractors/resnet.py:5-40``; the
+    extractor hooks layer4, so fc/avgpool weights are ignored)."""
+    sd = None if torch_sd is None else {
+        f"m.{k}": v for k, v in torch_sd.items()}
+    cv = Converter(sd, template=template)
+    convert_resnet_trunk(cv, (), "m", arch, 4, conv_bias=False)
+    return cv.variables()
+
+
+def convert_tv_vit(torch_sd, depth=12, heads=12, template=None) -> dict:
+    """torchvision vit_b/l_16 state dict -> ``ViTEncoder`` variables
+    (reference ``feature_extractors/vit.py:7-37``: encoder output hook,
+    cls token; classification head ignored)."""
+    cv = Converter(torch_sd, template=template)
+    cv.conv(("patch_embed",), "conv_proj")
+    cv.raw(("cls_token",), "class_token")
+    cv.raw(("pos_embed",), "encoder.pos_embedding")
+    for i in range(depth):
+        fb = (f"block_{i}",)
+        tb = f"encoder.layers.encoder_layer_{i}"
+        cv.layernorm((*fb, "norm1"), f"{tb}.ln_1")
+        cv.mha((*fb, "attn"), heads,
+               f"{tb}.self_attention.in_proj_weight",
+               f"{tb}.self_attention.in_proj_bias",
+               f"{tb}.self_attention.out_proj.weight",
+               f"{tb}.self_attention.out_proj.bias")
+        cv.layernorm((*fb, "norm2"), f"{tb}.ln_2")
+        cv.linear((*fb, "mlp_lin1"), f"{tb}.mlp.0")
+        cv.linear((*fb, "mlp_lin2"), f"{tb}.mlp.3")
+    cv.layernorm(("norm",), "encoder.ln")
+    return cv.variables()
+
+
+def convert_dinov2(torch_sd, depth=24, heads=16, template=None) -> dict:
+    """DINOv2 (facebookresearch/dinov2 torch.hub) state dict ->
+    ``ViTEncoder(layerscale=True)`` variables (reference
+    ``feature_extractors/dino.py:6-37``: model(X) returns the normalized
+    cls token)."""
+    cv = Converter(torch_sd, template=template)
+    cv.conv(("patch_embed",), "patch_embed.proj")
+    cv.raw(("cls_token",), "cls_token")
+    cv.raw(("pos_embed",), "pos_embed")
+    for i in range(depth):
+        fb = (f"block_{i}",)
+        tb = f"blocks.{i}"
+        cv.layernorm((*fb, "norm1"), f"{tb}.norm1")
+        cv.mha((*fb, "attn"), heads,
+               f"{tb}.attn.qkv.weight", f"{tb}.attn.qkv.bias",
+               f"{tb}.attn.proj.weight", f"{tb}.attn.proj.bias")
+        cv.raw((*fb, "gamma1"), f"{tb}.ls1.gamma")
+        cv.layernorm((*fb, "norm2"), f"{tb}.norm2")
+        cv.linear((*fb, "mlp_lin1"), f"{tb}.mlp.fc1")
+        cv.linear((*fb, "mlp_lin2"), f"{tb}.mlp.fc2")
+        cv.raw((*fb, "gamma2"), f"{tb}.ls2.gamma")
+    cv.layernorm(("norm",), "norm")
     return cv.variables()
 
 

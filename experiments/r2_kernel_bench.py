@@ -60,19 +60,18 @@ def bench_geometry(name, m_tokens, n_queries, valid, top_k=50, ck=64,
             return fn
 
         variants["sel_grid_4096"] = sel("grid", 256, 4096)
-        variants["sel_tour_q128_m8192"] = sel("tournament", 128, 8192)
-        variants["sel_tour_q256_m4096"] = sel("tournament", 256, 4096)
-        variants["sel_tour_q128_m16384"] = sel("tournament", 128, 16384)
+        variants["sel_tour_q128_m4096"] = sel("tournament", 128, 4096)
+        variants["sel_tour_q128_m2048"] = sel("tournament", 128, 2048)
+        variants["sel_tour_q256_m2048"] = sel("tournament", 256, 2048)
 
-        def fused(bq, bm, method):
+        def fused(bq, bm):
             def fn(qk):
                 return pallas_fused_readout(mk, qk, mv, top_k, valid,
-                                            block_q=bq, block_m=bm,
-                                            selection_method=method)
+                                            block_q=bq, block_m=bm)
             return fn
 
-        variants["fused_tour_q128_m8192"] = fused(128, 8192, "tournament")
-        variants["fused_grid_4096"] = fused(256, 4096, "grid")
+        variants["fused_q128_m4096"] = fused(128, 4096)
+        variants["fused_q128_m2048"] = fused(128, 2048)
 
     def strat(s):
         def fn(qk):
@@ -101,7 +100,7 @@ def bench_geometry(name, m_tokens, n_queries, valid, top_k=50, ck=64,
         for vname, fn in [("pallas_fused_tour",
                            lambda q: pallas_fused_readout(
                                mk, q, mv, top_k, valid, block_q=128,
-                               block_m=8192, selection_method="tournament"))]:
+                               block_m=4096))]:
             got = np.asarray(fn(qk0), np.float32)
             ok = np.allclose(got, ref, rtol=2e-2, atol=2e-2)
             print(f"[{name}] {vname} vs gather: "
@@ -111,7 +110,7 @@ def bench_geometry(name, m_tokens, n_queries, valid, top_k=50, ck=64,
                                           block_q=256, block_m=4096,
                                           method="grid")
         w_t, i_t = pallas_memory_topk(mk, qk0, top_k, valid, block_q=128,
-                                      block_m=8192, method="tournament")
+                                      block_m=4096, method="tournament")
         sel_ok = bool((np.asarray(i_t) == np.asarray(i_ref)).all())
         print(f"[{name}] tournament idx == grid idx: {sel_ok}", flush=True)
         timings["tournament_idx_ok"] = sel_ok

@@ -21,7 +21,9 @@ class TestEvalCLI:
                      "--top-k", "8", "--out-dir", str(tmp_path)])
         df = pd.read_csv(path)
         assert list(df.columns) == ["video", "mu_metric", "annotation_time",
-                                    "round"]
+                                    "round", "weights"]
+        # random-init smoke runs carry a loud marker on every row
+        assert (df["weights"] == "RANDOM_WEIGHTS").all()
         assert len(df) == 2
         assert (df["annotation_time"] > 0).all()
 

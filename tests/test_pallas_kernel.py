@@ -49,8 +49,11 @@ def test_tournament_escalation_exact(rng):
     w, i = pallas_memory_topk(mk, qk, top_k, block_q=32, block_m=512,
                               interpret=True, method="tournament")
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    # the tournament computes scores transposed (mk @ qk.T); at this test's
+    # 30x-amplified magnitudes the different fp accumulation order shifts
+    # softmax weights by ~1e-5 relative (selection itself is exact above)
     np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_tournament_tie_order(rng):

@@ -117,12 +117,88 @@ def resnet101(weights=None, **kw):
     return ResNet(Bottleneck, [3, 4, 23, 3])
 
 
+class _MLPBlock(nn.Sequential):
+    def __init__(self, dim, hidden):
+        super().__init__(nn.Linear(dim, hidden), nn.GELU(), nn.Dropout(0.0),
+                         nn.Linear(hidden, dim), nn.Dropout(0.0))
+
+
+class _EncoderBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(dim, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(dim, heads,
+                                                    batch_first=True)
+        self.ln_2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _MLPBlock(dim, 4 * dim)
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        y, _ = self.self_attention(y, y, y, need_weights=False)
+        x = x + y
+        return x + self.mlp(self.ln_2(x))
+
+
+class _Encoder(nn.Module):
+    def __init__(self, seq_len, dim, depth, heads):
+        super().__init__()
+        from collections import OrderedDict
+
+        self.pos_embedding = nn.Parameter(torch.randn(1, seq_len, dim) * 0.02)
+        # state-dict name compat: torchvision names them encoder_layer_{i}
+        self.layers = nn.Sequential(OrderedDict(
+            (f"encoder_layer_{i}", _EncoderBlock(dim, heads))
+            for i in range(depth)))
+        self.ln = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        return self.ln(self.layers(x + self.pos_embedding))
+
+
+class VisionTransformer(nn.Module):
+    """torchvision-compatible ViT: identical state-dict keys and forward
+    semantics (cls token, pos embed, pre-LN blocks, final encoder LN)."""
+
+    def __init__(self, patch=16, dim=768, depth=12, heads=12, img=224,
+                 num_classes=1000):
+        super().__init__()
+        self.patch_size = patch
+        self.conv_proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.class_token = nn.Parameter(torch.zeros(1, 1, dim))
+        seq_len = (img // patch) ** 2 + 1
+        self.encoder = _Encoder(seq_len, dim, depth, heads)
+        self.heads = nn.Sequential()
+        self.heads.add_module("head", nn.Linear(dim, num_classes))
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.conv_proj(x)                       # [B, D, g, g]
+        x = x.flatten(2).transpose(1, 2)            # [B, N, D]
+        cls = self.class_token.expand(b, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        x = self.encoder(x)
+        return self.heads(x[:, 0])
+
+
+def vit_b_16(weights=None, **kw):
+    return VisionTransformer(patch=16, dim=768, depth=12, heads=12)
+
+
+def vit_l_16(weights=None, **kw):
+    return VisionTransformer(patch=16, dim=1024, depth=24, heads=16)
+
+
+class _Weights:
+    def transforms(self):
+        return None
+
+
 class _WeightsEnum:
-    DEFAULT = None
+    DEFAULT = _Weights()
 
 
 def _vit_unavailable(*a, **kw):
-    raise NotImplementedError("ViT stub: not needed by these parity tests")
+    raise NotImplementedError("ViT stub: arch not needed by parity tests")
 
 
 def install():
@@ -138,9 +214,12 @@ def install():
                      ("resnet101", resnet101)]:
         setattr(models, name, fn)
     for name in ["ResNet18_Weights", "ResNet50_Weights", "ResNet101_Weights",
-                 "ViT_B_16_Weights", "ViT_B_32_Weights", "ViT_L_32_Weights"]:
+                 "ViT_B_16_Weights", "ViT_B_32_Weights", "ViT_L_16_Weights",
+                 "ViT_L_32_Weights"]:
         setattr(models, name, _WeightsEnum)
-    for name in ["vit_b_16", "vit_b_32", "vit_l_32"]:
+    models.vit_b_16 = vit_b_16
+    models.vit_l_16 = vit_l_16
+    for name in ["vit_b_32", "vit_l_32"]:
         setattr(models, name, _vit_unavailable)
 
     transforms = types.ModuleType("torchvision.transforms")
