@@ -68,9 +68,12 @@ class EngineConfig(NamedTuple):
     top_k: int = 50
     max_interactions: int = 64
     feature_chunk: int = 4      # frames per encode_key step during precompute
-    readout_strategy: str = "auto"  # 'auto' = 'pallas' when the streaming
-    #   kernel compiles on this backend, else 'scatter' (MXU densify);
-    #   'gather' row-gathers (slow on TPU). See ops.memory_attention.
+    readout_strategy: str = "auto"  # 'auto' = 'pallas_fused' when the
+    #   streaming kernels compile on this backend, else 'scatter' (MXU
+    #   densify); 'gather' row-gathers (slow on TPU); 'sharded' = memory
+    #   bank sharded over a device mesh (pass mesh= to the engine) with
+    #   exact all-gather/psum top-k readout. See ops.memory_attention and
+    #   parallel.sharded_attention.
     block_frames: bool = True   # batch the mem_freq frames between memory
     #                             admissions (bank is constant there, so
     #                             their segmentations are independent —
@@ -93,7 +96,8 @@ class InferenceEngine:
     """
 
     def __init__(self, stcn, fusion, stcn_params, fusion_params,
-                 config: EngineConfig = EngineConfig()):
+                 config: EngineConfig = EngineConfig(), mesh=None,
+                 mesh_axis: str = "data"):
         self.stcn = stcn
         self.fusion = fusion
         self.stcn_params = stcn_params
@@ -103,9 +107,24 @@ class InferenceEngine:
         config = config._replace(
             readout_strategy=resolve_strategy(config.readout_strategy))
         self.config = config
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if config.readout_strategy == "sharded" and mesh is None:
+            raise ValueError("readout_strategy='sharded' needs a mesh")
 
         self._precompute_jit = jax.jit(self._precompute, static_argnames=("chunk",))
         self._interact_jit = jax.jit(self._interact)
+
+    def _readout(self, mk, qk, mv, top_k, valid_tokens):
+        if self.config.readout_strategy == "sharded":
+            from ..parallel.sharded_attention import sharded_memory_readout
+
+            return sharded_memory_readout(
+                mk, qk, mv, top_k=top_k, mesh=self.mesh,
+                axis=self.mesh_axis, valid_tokens=valid_tokens)
+        return memory_readout(mk, qk, mv, top_k=top_k,
+                              valid_tokens=valid_tokens,
+                              strategy=self.config.readout_strategy)
 
     # ------------------------------------------------------------------
     # feature precompute
@@ -153,10 +172,25 @@ class InferenceEngine:
         prob = jnp.zeros((num_objects + 1, t, nh, nw), dtype=jnp.float32)
         prob = prob.at[0].set(1e-7)
         dtype = feats.k16.dtype
+        sharded = cfg.readout_strategy == "sharded"
+        if sharded:
+            # the slot axis shards contiguously across the mesh (and the
+            # flattened token axis mmax * hw follows)
+            n_shards = self.mesh.shape[self.mesh_axis]
+            mmax += (-mmax) % n_shards
+        bank_k = jnp.zeros((mmax, hw, ck), dtype=dtype)
+        bank_v = jnp.zeros((num_objects, mmax, hw, cv), dtype=dtype)
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bank_k = jax.device_put(
+                bank_k, NamedSharding(self.mesh, P(self.mesh_axis)))
+            bank_v = jax.device_put(
+                bank_v, NamedSharding(self.mesh, P(None, self.mesh_axis)))
         return PropagationState(
             prob=prob,
-            bank_k=jnp.zeros((mmax, hw, ck), dtype=dtype),
-            bank_v=jnp.zeros((num_objects, mmax, hw, cv), dtype=dtype),
+            bank_k=bank_k,
+            bank_v=bank_v,
             certain_count=jnp.asarray(0, jnp.int32),
             interacted=jnp.zeros((t,), dtype=bool),
         )
@@ -176,10 +210,7 @@ class InferenceEngine:
         mv = bank_v.reshape(k_obj, mmax * hw, cv)  # layout makes this free
 
         top_k = min(cfg.top_k, mmax * hw)
-        readout = memory_readout(
-            mk, qk, mv, top_k=top_k, valid_tokens=front * hw,
-            strategy=cfg.readout_strategy,
-        )  # [K, hw, CV]
+        readout = self._readout(mk, qk, mv, top_k, front * hw)  # [K, hw, CV]
 
         h16, w16 = feats.f16_thin.shape[1:3]
         readout = readout.reshape(k_obj, h16, w16, cv)
@@ -309,10 +340,7 @@ class InferenceEngine:
         mv = bank_v.reshape(k_obj, mmax * hw, cv)  # layout makes this free
 
         top_k = min(cfg.top_k, mmax * hw)
-        readout = memory_readout(
-            mk, qk, mv, top_k=top_k, valid_tokens=front * hw,
-            strategy=cfg.readout_strategy,
-        )  # [K, B*hw, CV]
+        readout = self._readout(mk, qk, mv, top_k, front * hw)  # [K, B*hw, CV]
 
         h16, w16 = feats.f16_thin.shape[1:3]
         readout = readout.reshape(k_obj, b, h16, w16, cv).transpose(1, 0, 2, 3, 4)

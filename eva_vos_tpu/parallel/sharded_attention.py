@@ -49,8 +49,7 @@ def sharded_memory_readout(mk, qk, mv, top_k: int, mesh: Mesh,
         scores = (2.0 * dot - m_sq[None, :]) / math.sqrt(ck)  # [N, m_local]
 
         token_ids = offset + jnp.arange(m_local)
-        if valid is not None:
-            scores = jnp.where(token_ids[None, :] < valid, scores, NEG_INF)
+        scores = jnp.where(token_ids[None, :] < valid[0], scores, NEG_INF)
 
         k_local = min(top_k, m_local)
         loc_vals, loc_idx = jax.lax.top_k(scores, k_local)      # [N, k]
@@ -80,11 +79,15 @@ def sharded_memory_readout(mk, qk, mv, top_k: int, mesh: Mesh,
                           gathered.astype(jnp.float32))
         return jax.lax.psum(part, axis)
 
+    # valid rides as an explicit replicated arg: a traced fill pointer (the
+    # engine's bank front) must not be closed over inside shard_map
+    valid_arr = jnp.asarray(
+        [m_total if valid_tokens is None else valid_tokens], jnp.int32)
     fn = shard_map(
-        partial(local_fn, valid=valid_tokens),
+        local_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P(None, None), P(None, axis, None)),
+        in_specs=(P(axis, None), P(None, None), P(None, axis, None), P(None)),
         out_specs=P(None, None, None),
         check_vma=False,
     )
-    return fn(mk, qk, mv).astype(mv.dtype)
+    return fn(mk, qk, mv, valid_arr).astype(mv.dtype)

@@ -29,9 +29,15 @@ class PPOTrainState(NamedTuple):
 
 
 class PPOTrainer:
+    """``mesh``: optional ``jax.sharding.Mesh`` — the minibatch update then
+    runs data-parallel (batch axis sharded, params replicated, XLA inserts
+    the gradient all-reduce over ICI; BatchNorm statistics reduce over the
+    global batch).  The reference trains PPO on one GPU
+    (``config/rl_agent.yaml``); this is the TPU scale-out path."""
+
     def __init__(self, action_space, ppo_epochs, clip_param, value_loss_coef,
                  entropy_coef, target_kl_div, lr, optim_str, arch, dropout,
-                 dtype=jnp.float32, seed: int = 0):
+                 dtype=jnp.float32, seed: int = 0, mesh=None):
         assert optim_str in {"Adam", "SGD"}
         self.action_space = action_space
         self.ppo_epochs = ppo_epochs
@@ -55,7 +61,17 @@ class PPOTrainer:
         self._act_key = jax.random.PRNGKey(seed + 1)
 
         self._fwd = jax.jit(self._fwd_impl)
-        self._update = jax.jit(self._update_impl, donate_argnums=(0,))
+        if mesh is not None:
+            from ...parallel.mesh import data_sharding, replicated_sharding
+
+            repl = replicated_sharding(mesh)
+            data = data_sharding(mesh)
+            self._update = jax.jit(
+                self._update_impl, donate_argnums=(0,),
+                in_shardings=(repl, data, repl),
+                out_shardings=(repl, repl, repl))
+        else:
+            self._update = jax.jit(self._update_impl, donate_argnums=(0,))
 
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
         print(f"Trainable parameters: {n_params / 1e6:.2f}M")
