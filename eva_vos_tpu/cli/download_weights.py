@@ -58,13 +58,17 @@ def main(argv=None):
         from ..utils.weight_convert import (load_torch_state_dict,
                                             convert_stcn, convert_fusion,
                                             convert_qnet,
-                                            convert_actor_critic, convert_sam)
+                                            convert_actor_critic, convert_sam,
+                                            infer_sam_dims)
+
+        def conv_sam(sd):
+            return convert_sam(sd, **infer_sam_dims(sd))
 
         for name, fn in [("mivos/stcn.pth", convert_stcn),
                          ("mivos/fusion.pth", convert_fusion),
                          ("qnet/qnet.pth", convert_qnet),
                          ("rl_agent/model.pth", convert_actor_critic),
-                         ("sam/sam.pth", convert_sam)]:
+                         ("sam/sam.pth", conv_sam)]:
             sd = load_torch_state_dict(root / name)
             fn(sd)
             print(f"[convert ok] {name}")

@@ -395,9 +395,40 @@ def convert_dinov2(torch_sd, depth=24, heads=16, template=None) -> dict:
 # SAM
 # ---------------------------------------------------------------------------
 
+def infer_sam_dims(torch_sd) -> dict:
+    """(depth, decoder_depth, num_mask_tokens) from an official
+    segment-anything checkpoint's keys — lets ``convert_sam`` handle
+    vit_b/l/h (or test-sized) checkpoints without being told the preset."""
+    def max_block(prefix):
+        idx = [int(k[len(prefix):].split(".")[0]) for k in torch_sd
+               if k.startswith(prefix)]
+        return max(idx) + 1 if idx else 0
+
+    return {
+        "depth": max_block("image_encoder.blocks."),
+        "decoder_depth": max_block("mask_decoder.transformer.layers."),
+        "num_mask_tokens":
+            np.asarray(torch_sd["mask_decoder.mask_tokens.weight"]).shape[0],
+    }
+
+
 def convert_sam(torch_sd, depth=32, decoder_depth=2, num_mask_tokens=4, template=None) -> dict:
     """sam.pth (official vit_h/l/b checkpoint) -> Sam variables."""
     cv = Converter(torch_sd, template=template)
+    _convert_sam_into(cv, depth, decoder_depth, num_mask_tokens)
+    return cv.variables()
+
+
+def synthesize_sam_checkpoint(template, depth, decoder_depth=2,
+                              num_mask_tokens=4, seed=0):
+    """Fabricate an official-layout segment-anything state dict matching a
+    flax template (tests / download_weights --check without egress)."""
+    cv = Converter(None, template=template, seed=seed)
+    _convert_sam_into(cv, depth, decoder_depth, num_mask_tokens)
+    return dict(cv.sd)
+
+
+def _convert_sam_into(cv: Converter, depth, decoder_depth, num_mask_tokens):
 
     enc = ("image_encoder",)
     cv.conv((*enc, "patch_embed"), "image_encoder.patch_embed.proj")
@@ -470,7 +501,6 @@ def convert_sam(torch_sd, depth=32, decoder_depth=2, num_mask_tokens=4, template
     for j in range(3):
         cv.linear((*md, "iou_prediction_head", f"layers_{j}"),
                   f"mask_decoder.iou_prediction_head.layers.{j}")
-    return cv.variables()
 
 
 def load_torch_state_dict(path):

@@ -1,0 +1,117 @@
+"""Real-dataset code path end-to-end on a fake on-disk MOSE tree
+(VERDICT r1 #8: download_data resize/filter/split + AnnotationDataset +
+eval_annotation_method --db, previously unexercised without egress)."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("PIL")
+from PIL import Image
+
+from eva_vos_tpu.cli import download_data
+from eva_vos_tpu.data.datasets import AnnotationDataset
+
+
+def _write_video(img_dir, msk_dir, n_frames, w=64, h=48, n_objs=1, seed=0):
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(msk_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for f in range(n_frames):
+        arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{f:05d}.jpg")
+        mask = np.zeros((h, w), np.uint8)
+        x = 8 + 2 * f
+        mask[10:30, x:x + 16] = 1
+        if n_objs > 1:
+            mask[2:8, 2:10] = 2
+        pal = Image.fromarray(mask, mode="P")
+        pal.putpalette([0, 0, 0, 255, 0, 0, 0, 255, 0] + [0] * 759)
+        pal.save(msk_dir / f"{f:05d}.png")
+
+
+class TestDownloadDataPipeline:
+    def test_resize_filter_split(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("EVAVOS_DATA_ROOT", str(tmp_path))
+        raw = tmp_path / "MOSE" / "raw" / "train"
+        # 3 videos: two in the 16..104 frame window, one too short
+        for name, frames in [("videoA", 16), ("videoB", 17), ("tiny", 4)]:
+            _write_video(raw / "JPEGImages" / name,
+                         raw / "Annotations" / name, frames)
+
+        monkeypatch.setattr(download_data, "N_TRAIN", 1)
+        monkeypatch.setattr(download_data, "N_VAL", 1)
+        download_data.main(["--workers", "1"])
+
+        root = tmp_path / "MOSE"
+        # 480p resize with preserved aspect (64x48 -> 640x480)
+        im = Image.open(root / "JPEGImages" / "480p" / "videoA" / "00000.jpg")
+        assert im.size == (640, 480)
+        m = Image.open(root / "Annotations" / "480p" / "videoA" / "00000.png")
+        assert m.size == (640, 480)
+        assert set(np.unique(np.array(m))) <= {0, 1}  # nearest: labels intact
+
+        splits = {}
+        for s in ("train", "val", "test"):
+            txt = (root / "ImageSets" / f"{s}.txt").read_text().split()
+            splits[s] = txt
+        all_vids = sorted(sum(splits.values(), []))
+        assert all_vids == ["videoA", "videoB"]  # 'tiny' filtered out
+        assert len(splits["train"]) == 1 and len(splits["val"]) == 1
+        # split is the seeded shuffle (seed 292910)
+        rng = np.random.RandomState(download_data.SPLIT_SEED)
+        expect = ["videoA", "videoB"]
+        rng.shuffle(expect)
+        assert splits["train"] == expect[:1] and splits["val"] == expect[1:2]
+
+
+@pytest.fixture
+def fake_mose_tree(tmp_path, monkeypatch):
+    """A ready-made 480p-layout tree at tiny true resolution (the loaders
+    never check pixel counts) with a test split."""
+    monkeypatch.setenv("EVAVOS_DATA_ROOT", str(tmp_path))
+    root = tmp_path / "MOSE"
+    for name, n_objs in [("vid0", 1), ("vid1", 2)]:
+        _write_video(root / "JPEGImages" / "480p" / name,
+                     root / "Annotations" / "480p" / name,
+                     n_frames=5, n_objs=n_objs, seed=hash(name) % 100)
+    os.makedirs(root / "ImageSets", exist_ok=True)
+    (root / "ImageSets" / "test.txt").write_text("vid0\nvid1\n")
+    return root
+
+
+class TestAnnotationDatasetOnDisk:
+    def test_samples_per_object(self, fake_mose_tree):
+        ds = AnnotationDataset(fake_mose_tree,
+                               fake_mose_tree / "ImageSets" / "test.txt")
+        assert len(ds) == 3  # vid0 x1 object + vid1 x2 objects
+        names = [s.name for s in ds]
+        assert names == ["vid0__1", "vid1__1", "vid1__2"]
+        s = ds[0]
+        assert s.images01.shape == (5, 48, 64, 3)
+        assert s.gt.shape == (1, 5, 48, 64)
+        assert s.gt.max() == 1
+
+    def test_min_max_idx_sharding(self, fake_mose_tree):
+        imset = fake_mose_tree / "ImageSets" / "test.txt"
+        ds = AnnotationDataset(fake_mose_tree, imset, min_idx=1, max_idx=2)
+        assert [s.name for s in ds] == ["vid1__1", "vid1__2"]
+
+
+class TestEvalCLIOnDiskDB:
+    def test_oracle_mask_on_db(self, fake_mose_tree, tmp_path, monkeypatch):
+        """The --db path of eval_annotation_method: real dataset loader,
+        engine episodes, reference CSV schema."""
+        monkeypatch.setenv("EVAVOS_TINY", "1")
+        import pandas as pd
+
+        from eva_vos_tpu.cli.eval_annotation_method import main
+
+        path = main(["--policy", "oracle_mask", "--db", "MOSE",
+                     "--rounds", "2", "--allow-random", "--metric", "j",
+                     "--top-k", "8", "--out-dir", str(tmp_path / "exp")])
+        df = pd.read_csv(path)
+        assert set(df["video"]) == {"vid0__1", "vid1__1", "vid1__2"}
+        assert (df["annotation_time"] > 0).all()
+        assert df["mu_metric"].between(0, 1).all()
