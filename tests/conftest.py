@@ -24,6 +24,19 @@ if not os.environ.get("EVAVOS_TEST_TPU"):
 
 jax.config.update("jax_enable_x64", False)
 
+# Opt-in persistent XLA compilation cache (EVAVOS_JAX_CACHE=<dir>).  NOT
+# enabled by default: measured on this box, the suite's CPU executables
+# serialize to 3.4 GB (196 entries) and the cache's write+read/verify
+# traffic added 10-15 min of sys time per run — slower than recompiling,
+# on ext4 and tmpfs alike.  Useful only for tight loops on a few files
+# (e.g. kernel tests: 66 s cold -> 29 s warm).  Set via the config API,
+# not env vars — this image preloads jax at interpreter startup (axon
+# .pth hook), so env set here is too late for JAX_* config pickup.
+if os.environ.get("EVAVOS_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["EVAVOS_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

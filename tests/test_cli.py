@@ -27,6 +27,7 @@ class TestEvalCLI:
         assert len(df) == 2
         assert (df["annotation_time"] > 0).all()
 
+    @pytest.mark.slow
     def test_resume_skips_done_videos(self, tmp_path):
         from eva_vos_tpu.cli.eval_annotation_method import main
 

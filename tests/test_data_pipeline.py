@@ -43,6 +43,7 @@ def fq_db_dir(tmp_path_factory):
     return out
 
 
+@pytest.mark.slow  # module-scoped generator fixture dominates (minutes on CPU)
 class TestFQPipeline:
     def test_generator_output_layout(self, fq_db_dir):
         assert (fq_db_dir / "res_train.csv").exists()
@@ -82,6 +83,7 @@ class TestFQPipeline:
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 class TestTrainQNetCLI:
     def test_one_epoch_over_generated_db(self, fq_db_dir, tmp_path,
                                          monkeypatch):
@@ -117,6 +119,7 @@ def annot_db_dir(tmp_path_factory):
     return out
 
 
+@pytest.mark.slow
 class TestAnnotPipeline:
     def test_generator_output(self, annot_db_dir):
         import pandas as pd

@@ -9,6 +9,10 @@ import os
 import numpy as np
 import pytest
 
+# reference-module checkpoint synthesis is torch-heavy (~1 min fixture);
+# structural converter coverage stays fast in test_weight_convert.py
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 from reference_import import import_reference_mivos, import_reference_models

@@ -123,8 +123,10 @@ class Oracle:
                     self.prob[:, ti] = out
 
 
-@pytest.mark.parametrize("k_objects,block_frames",
-                         [(1, False), (2, False), (1, True), (2, True)])
+@pytest.mark.parametrize(
+    "k_objects,block_frames",
+    [(1, False), pytest.param(2, False, marks=pytest.mark.slow),
+     (1, True), pytest.param(2, True, marks=pytest.mark.slow)])
 def test_engine_matches_oracle(k_objects, block_frames):
     stcn, fusion, sp, fp, cfg = build(k_objects, block_frames)
     images, masks = synthetic_video(T, H, W, num_objects=k_objects, seed=3)

@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __graft_entry__ as graft  # noqa: E402
 
 
+@pytest.mark.slow  # the driver re-runs this contract every round
 def test_dryrun_multichip_inline():
     # conftest provisions 8 virtual CPU devices -> runs the impl inline
     graft.dryrun_multichip(8)
@@ -30,6 +31,7 @@ def test_dryrun_multichip_reexec():
     graft.dryrun_multichip(16)
 
 
+@pytest.mark.slow  # the driver compile-checks entry() every round
 def test_entry_compiles():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)

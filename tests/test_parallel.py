@@ -55,6 +55,7 @@ class TestBatchSharding:
 
 
 class TestShardedEngine:
+    @pytest.mark.slow  # dryrun_multichip exercises this path every round
     def test_sharded_interact_matches_single_device(self, rng, mesh):
         """Full propagation step with the memory bank sharded over the mesh
         must reproduce the single-device engine exactly (VERDICT r1 #6)."""

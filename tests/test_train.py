@@ -20,6 +20,7 @@ class TestQNetTrainer:
         return QNetTrainer(arch="resnet18", lr=1e-3, optim="SGD",
                            mesh=make_mesh(8))
 
+    @pytest.mark.slow
     def test_train_step_runs_and_learns(self, trainer, rng):
         state = trainer.init(jax.random.PRNGKey(0), image_size=64)
         # a trivially separable batch: label 0 = dark images, 1 = bright
