@@ -79,6 +79,10 @@ class EngineConfig(NamedTuple):
     #                             their segmentations are independent —
     #                             bit-identical results, 1/mem_freq the
     #                             sequential steps, mem_freq x conv batch)
+    fusion_packed: str = "auto"  # 'auto'/'on'/'off': run FusionNet in the
+    #   2x2 space-to-depth layout (models.fusion.fusion_apply_packed) —
+    #   numerically equivalent, 2.5x faster on TPU where the 32-channel
+    #   convs starve the MXU; 'auto' enables it off-CPU
 
 
 class InferenceEngine:
@@ -106,6 +110,10 @@ class InferenceEngine:
 
         config = config._replace(
             readout_strategy=resolve_strategy(config.readout_strategy))
+        if config.fusion_packed == "auto":
+            config = config._replace(
+                fusion_packed="on" if jax.default_backend() != "cpu"
+                else "off")
         self.config = config
         self.mesh = mesh
         self.mesh_axis = mesh_axis
@@ -247,9 +255,17 @@ class InferenceEngine:
         im = feats.images[ti]
         dtype = im.dtype
 
+        if self.config.fusion_packed == "on":
+            from ..models.fusion import fusion_apply_packed
+
+            def apply_fusion(*args):
+                return fusion_apply_packed(self.fusion_params, *args)
+        else:
+            def apply_fusion(*args):
+                return self.fusion.apply(self.fusion_params, *args)
+
         def fuse_one(prev_k, curr_k, attn_k):
-            logit = self.fusion.apply(
-                self.fusion_params,
+            logit = apply_fusion(
                 im, prev_k.astype(dtype), curr_k.astype(dtype), attn_k,
                 dist.astype(dtype),
             )

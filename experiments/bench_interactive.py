@@ -5,7 +5,13 @@ rounds=60 -> Mmax ~ 80 slots ~ 130k memory tokens at 480p).
 The XLA sort path degrades super-linearly with bank size; the Pallas
 streaming kernel is linear in the VALID prefix and skips dead blocks."""
 
+import sys
 import time
+from pathlib import Path
+
+# repo-root import without PYTHONPATH (setting PYTHONPATH breaks the axon
+# TPU plugin's interpreter-startup registration in this image)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import jax
@@ -17,7 +23,8 @@ from eva_vos_tpu.engine.propagation import EngineConfig, prepare_video, pad_mask
 from eva_vos_tpu.data import synthetic_video
 
 
-def main(t=60, h=480, w=854, rounds=10, max_interactions=60):
+def main(t=60, h=480, w=854, rounds=10, max_interactions=60,
+         strategy="auto", no_fusion=False):
     dtype = jnp.bfloat16
     ph, pw = h + (-h) % 16, w + (-w) % 16
     stcn = PropagationNetwork(dtype=dtype)
@@ -28,8 +35,9 @@ def main(t=60, h=480, w=854, rounds=10, max_interactions=60):
                      jnp.zeros((ph, pw), dtype), jnp.zeros((ph, pw), dtype),
                      jnp.zeros((ph, pw, 2), dtype), jnp.zeros((2,), dtype))
     engine = InferenceEngine(
-        stcn, fusion, sp, fp,
-        EngineConfig(max_interactions=max_interactions, feature_chunk=2))
+        stcn, None if no_fusion else fusion, sp, fp,
+        EngineConfig(max_interactions=max_interactions, feature_chunk=2,
+                     readout_strategy=strategy))
     print(f"readout: {engine.config.readout_strategy}", flush=True)
 
     images, masks = synthetic_video(t, h, w, 1, seed=0)
@@ -63,4 +71,5 @@ def main(t=60, h=480, w=854, rounds=10, max_interactions=60):
 
 
 if __name__ == "__main__":
-    main()
+    main(strategy=sys.argv[1] if len(sys.argv) > 1 else "auto",
+         no_fusion="--no-fusion" in sys.argv)

@@ -172,6 +172,28 @@ def test_readout_strategies_agree():
     np.testing.assert_allclose(probs[0], probs[1], rtol=1e-4, atol=1e-5)
 
 
+def test_fusion_packed_matches_module_path():
+    """The space-to-depth FusionNet execution must not change propagation:
+    two interactions force fused passes, then compare full prob volumes."""
+    stcn, fusion, sp, fp, _ = build(1)
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=11)
+    padded, pad = prepare_video(images)
+
+    probs = []
+    for mode in ("off", "on"):
+        cfg = EngineConfig(mem_freq=MEM_FREQ, top_k=TOP_K, max_interactions=4,
+                           feature_chunk=2, fusion_packed=mode)
+        engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
+        feats = engine.precompute_features(padded)
+        state = engine.init_state(feats, 1)
+        for idx in (0, T - 1):  # second interact propagates BETWEEN -> fuses
+            state = engine.interact(
+                state, feats, pad_mask(masks[:, idx].astype(np.float32), pad),
+                idx)
+        probs.append(np.asarray(state.prob))
+    np.testing.assert_allclose(probs[0], probs[1], rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("block_frames", [False, True])
 def test_fusion_none_disables_blending(block_frames):
     """fusion=None must trace and run (ADVICE r1: lax.cond traced the fused

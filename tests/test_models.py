@@ -114,6 +114,31 @@ class TestFusionNet:
         params = net.init(jax.random.PRNGKey(0), im, seg, seg, attn, time)
         assert net.apply(params, im, seg, seg, attn, time).shape == (4, H, W)
 
+    def test_packed_execution_matches_module(self, rng):
+        """The space-to-depth fast path is the same sum re-associated."""
+        from eva_vos_tpu.models.fusion import fusion_apply_packed
+
+        net = FusionNet()
+        im = jnp.asarray(rng.standard_normal((3, H, W, 3)), jnp.float32)
+        s1 = jnp.asarray(rng.uniform(size=(3, H, W)), jnp.float32)
+        s2 = jnp.asarray(rng.uniform(size=(3, H, W)), jnp.float32)
+        attn = jnp.asarray(rng.standard_normal((3, H, W, 2)), jnp.float32)
+        time = jnp.asarray(rng.uniform(size=(3, 2)), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), im[0], s1[0], s2[0],
+                          attn[0], time[0])
+        ref = net.apply(params, im, s1, s2, attn, time)
+        packed = fusion_apply_packed(params, im, s1, s2, attn, time)
+        assert packed.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # unbatched call (the engine vmaps over objects)
+        ref1 = net.apply(params, im[0], s1[0], s2[0], attn[0], time[0])
+        packed1 = fusion_apply_packed(params, im[0], s1[0], s2[0], attn[0],
+                                      time[0])
+        np.testing.assert_allclose(np.asarray(packed1), np.asarray(ref1),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestQNet:
     def test_logits_and_features(self):
