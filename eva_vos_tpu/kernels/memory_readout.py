@@ -15,14 +15,17 @@ bank through VMEM a second time and, per block,
 2. gates them at the per-query k-th selected value tau — including the
    lax.top_k tie rule (score == tau admitted only for token ids <= the
    largest selected tie id), so the gated set is EXACTLY the selected set,
-3. accumulates ``gate * exp(s - vmax) @ V_block`` into a VMEM fp32
-   accumulator — one MXU matmul per block, no index traffic at all,
-4. normalizes by the softmax denominator in-kernel at the last block and
-   emits the value dtype (a full fp32 [N, CV] output would blow the 16 MB
-   scoped-VMEM budget at production sizes).
+3. accumulates ``gate * exp(s - vmax) @ V_block`` into the revisited fp32
+   output block — one MXU matmul per (bank block, query tile), no index
+   traffic at all.  The bank block is the OUTER grid dimension, so each
+   mk/mv block is DMA'd once total (bank traffic O(M), not
+   O(M * N/block_q)),
+4. normalizes by the softmax denominator in-kernel on the last bank block.
 
-Dead blocks past the bank fill pointer skip scoring, gating and the
-matmul via ``pl.when``.
+The memory-axis grid is sized by the bank's valid prefix (dynamic grid,
+``memory_topk.live_blocks``): blocks past the fill pointer are never
+scheduled, so they cost neither DMA nor compute — mostly-empty interactive
+banks read only what exists.
 """
 
 from __future__ import annotations
@@ -35,67 +38,67 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .memory_topk import tournament_topk_t
+from .memory_topk import live_blocks, tournament_topk_t
 
 NEG_INF = -1e30
 
 
 def _gated_readout_kernel(qk_ref, mk_ref, msq_ref, mv_ref, vals_ref,
-                          idx_ref, valid_ref, out_ref, acc, *,
+                          idx_ref, valid_ref, out_ref, *,
                           block_m: int, top_k: int, scale: float,
-                          n_blocks: int, n_obj: int):
-    j = pl.program_id(1)
+                          n_obj: int):
+    """Grid is (bank_block OUTER, query_tile INNER): the mk/mv blocks'
+    index map depends only on the outer dim, so each bank block is DMA'd
+    ONCE and all query tiles sweep it — total bank traffic is O(M), not
+    O(M * N/block_q).  The fp32 accumulator is the revisited output block
+    itself (one per query tile); normalization happens on the last bank
+    block."""
+    j = pl.program_id(0)                    # bank block (outer)
     q = qk_ref[:]                           # [Qt, CK]
     nq = q.shape[0]
-    cv = mv_ref.shape[-1]
 
-    @pl.when(j == 0)
-    def _():
-        acc[:] = jnp.zeros((n_obj, nq, cv), jnp.float32)
+    vals = vals_ref[:]                      # [k, Qt] selection values (desc)
+    sel_idx = idx_ref[:]                    # [k, Qt] selected token ids
+    vmax = vals[0:1, :]                     # [1, Qt]
+    tau = vals[top_k - 1:top_k, :]          # [1, Qt] k-th selected value
+    # largest selected token id among entries tied at tau — the lax.top_k
+    # rule keeps the LOWEST ids on ties, so the selected set is exactly
+    # {s > tau} u {s == tau and id <= tie_max}
+    tie_max = jnp.max(
+        jnp.where(vals == tau, sel_idx, jnp.int32(-1)),
+        axis=0, keepdims=True)              # [1, Qt]
 
-    @pl.when(j * block_m < valid_ref[0])
-    def _():
-        vals = vals_ref[:]                  # [k, Qt] selection values (desc)
-        sel_idx = idx_ref[:]                # [k, Qt] selected token ids
-        vmax = vals[0:1, :]                 # [1, Qt]
-        tau = vals[top_k - 1:top_k, :]      # [1, Qt] k-th selected value
-        # largest selected token id among entries tied at tau — the
-        # lax.top_k rule keeps the LOWEST ids on ties, so the selected set
-        # is exactly {s > tau} u {s == tau and id <= tie_max}
-        tie_max = jnp.max(
-            jnp.where(vals == tau, sel_idx, jnp.int32(-1)),
-            axis=0, keepdims=True)          # [1, Qt]
+    # recompute this block's scores bit-identically to the selection
+    # kernel (same orientation/dtype/precision) so equality against tau
+    # is meaningful
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    dot = jax.lax.dot_general(
+        mk_ref[:], q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    s = (2.0 * dot - msq_ref[:][:, None]) / scale      # [Bm, Qt] fp32
+    tok = j * block_m + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, nq), 0)
+    s = jnp.where(tok < valid_ref[0], s, NEG_INF)
 
-        # recompute this block's scores bit-identically to the selection
-        # kernel (same orientation/dtype/precision) so equality against tau
-        # is meaningful
-        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
-        dot = jax.lax.dot_general(
-            mk_ref[:], q, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        s = (2.0 * dot - msq_ref[:][:, None]) / scale      # [Bm, Qt] fp32
-        tok = j * block_m + jax.lax.broadcasted_iota(
-            jnp.int32, (block_m, nq), 0)
-        s = jnp.where(tok < valid_ref[0], s, NEG_INF)
+    gate = (s > tau) | ((s == tau) & (tok <= tie_max))
+    contrib = jnp.where(gate, jnp.exp(s - vmax), 0.0)  # [Bm, Qt] fp32
 
-        gate = (s > tau) | ((s == tau) & (tok <= tie_max))
-        contrib = jnp.where(gate, jnp.exp(s - vmax), 0.0)  # [Bm, Qt] fp32
+    prev = jnp.where(j == 0, jnp.zeros_like(out_ref[:]), out_ref[:])
+    acc = []
+    for o in range(n_obj):                  # static K loop, contrib shared
+        v_blk = mv_ref[o].astype(jnp.float32)          # [Bm, CV]
+        acc.append(prev[o] + jax.lax.dot_general(
+            contrib, v_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))      # [Qt, CV]
+    acc = jnp.stack(acc)
 
-        for o in range(n_obj):              # static K loop, contrib shared
-            v_blk = mv_ref[o].astype(jnp.float32)          # [Bm, CV]
-            acc[o] += jax.lax.dot_general(
-                contrib, v_blk, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)       # [Qt, CV]
-
-    @pl.when(j == n_blocks - 1)
-    def _():
-        # normalize in-kernel: z from the selection values — identical math
-        # to the XLA oracle's w = exp(v - v0) / sum
-        vals = vals_ref[:]
-        z = jnp.sum(jnp.exp(vals - vals[0:1, :]), axis=0)  # [Qt]
-        out_ref[:] = (acc[:] / z[None, :, None]).astype(out_ref.dtype)
+    # normalize on the last bank block: z from the selection values —
+    # identical math to the XLA oracle's w = exp(v - v0) / sum
+    z = jnp.sum(jnp.exp(vals - vmax), axis=0)          # [Qt]
+    last = j == pl.num_programs(0) - 1
+    out_ref[:] = jnp.where(last, acc / z[None, :, None], acc)
 
 
 @functools.partial(jax.jit,
@@ -149,34 +152,35 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     rb = readout_block_m
     n_blocks = mp_ // rb
 
+    # bank block is the OUTER grid dim (query tiles inner): each mv/mk
+    # block is fetched once total; the fp32 output blocks are revisited
+    # per bank block and act as the accumulator
     out = pl.pallas_call(
         functools.partial(_gated_readout_kernel, block_m=rb,
-                          top_k=top_k, scale=scale, n_blocks=n_blocks,
-                          n_obj=n_obj),
-        grid=(np_ // block_q, n_blocks),
+                          top_k=top_k, scale=scale, n_obj=n_obj),
+        grid=(live_blocks(valid, rb, n_blocks, interpret), np_ // block_q),
         in_specs=[
-            pl.BlockSpec((block_q, ck), lambda i, j: (i, 0),
+            pl.BlockSpec((block_q, ck), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, ck), lambda i, j: (j, 0),
+            pl.BlockSpec((rb, ck), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb,), lambda i, j: (j,),
+            pl.BlockSpec((rb,), lambda j, i: (j,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obj, rb, cv), lambda i, j: (0, j, 0),
+            pl.BlockSpec((n_obj, rb, cv), lambda j, i: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((top_k, block_q), lambda i, j: (0, i),
+            pl.BlockSpec((top_k, block_q), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((top_k, block_q), lambda i, j: (0, i),
+            pl.BlockSpec((top_k, block_q), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((n_obj, block_q, cv), lambda i, j: (0, i, 0),
+        out_specs=pl.BlockSpec((n_obj, block_q, cv), lambda j, i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_obj, np_, cv), mv.dtype),
-        scratch_shapes=[pltpu.VMEM((n_obj, block_q, cv), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_obj, np_, cv), jnp.float32),
         interpret=interpret,
     )(qk_p, mk_p, msq, mv_p, vals_t, idx_t, valid)
 
-    return out[:, :n]
+    return out[:, :n].astype(mv.dtype)
 
 
 _SUPPORTED = None

@@ -209,7 +209,7 @@ def _kernel(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref, *,
 
 def _kernel_grid(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
                  run_vals, run_idx, *, block_m: int, top_k: int,
-                 scale: float, n_blocks: int):
+                 scale: float):
     """Grid-pipelined variant: the memory-block loop is a GRID dimension
     (fastest-varying), so Mosaic double-buffers the mk block DMAs across
     steps.  A running top-k lives in VMEM scratch (which persists across
@@ -246,7 +246,7 @@ def _kernel_grid(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         run_vals[:] = mvals
         run_idx[:] = midx
 
-    @pl.when(j == n_blocks - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _():
         vals_ref[:] = run_vals[:]
         idx_ref[:] = run_idx[:]
@@ -287,8 +287,7 @@ def _extract_topk_rows(scores, ids, k):
 
 def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
                        run_vals, run_idx, *, block_m: int, top_k: int,
-                       scale: float, n_blocks: int, rounds: int,
-                       group: int):
+                       scale: float, rounds: int, group: int):
     """Tournament variant: the per-block top-k extraction is the engine's
     VPU bottleneck (k sequential full-width max/argmax/mask passes — 85% of
     a blocked propagation step).  Everything runs TRANSPOSED — scores
@@ -329,13 +328,15 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
             mk_ref[:], q, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         scores = (2.0 * dot - msq_ref[:][:, None]) / scale    # [Bm, Qt]
-        tok = j * block_m + jax.lax.broadcasted_iota(
-            jnp.int32, (block_m, nq), 0)
-        scores = jnp.where(tok < valid_ref[0], scores, NEG_INF)
+        # validity depends only on the token row: keep the iota [Bm, 1] and
+        # broadcast (a [Bm, Qt] int32 buffer costs 4 MB VMEM at Bm=8192)
+        tok_col = j * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, 1), 0)
+        scores = jnp.where(tok_col < valid_ref[0], scores, NEG_INF)
 
         g = block_m // group
         s3 = scores.reshape(g, group, nq)
-        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (g, group, nq), 1)
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1)
         base = j * block_m + group * jax.lax.broadcasted_iota(
             jnp.int32, (g, nq), 0)
 
@@ -355,10 +356,13 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         c_ge = jnp.sum((cand_v >= tau).astype(jnp.float32), axis=0)
         exact = jnp.all(n_ge == c_ge)
 
+        def escalate(_):
+            tok = j * block_m + jax.lax.broadcasted_iota(
+                jnp.int32, (block_m, nq), 0)
+            return _extract_topk_rows(scores, tok, top_k)
+
         blk_vals, blk_idx = jax.lax.cond(
-            exact, lambda _: (tv, ti),
-            lambda _: _extract_topk_rows(scores, tok, top_k),
-            None)
+            exact, lambda _: (tv, ti), escalate, None)
 
         cat_v = jnp.concatenate([run_vals[:], blk_vals], axis=0)
         cat_i = jnp.concatenate([run_idx[:], blk_idx], axis=0)
@@ -366,10 +370,22 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         run_vals[:] = mvals
         run_idx[:] = midx
 
-    @pl.when(j == n_blocks - 1)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _():
         vals_ref[:] = run_vals[:]
         idx_ref[:] = run_idx[:]
+
+
+def live_blocks(valid, block_m: int, n_blocks: int, interpret: bool):
+    """Grid extent over the memory axis: number of blocks intersecting the
+    valid prefix (>= 1 so the output write always fires).  Dynamic (traced)
+    on compiled backends — dead blocks then cost neither DMA nor grid
+    steps, the big win for mostly-empty interactive banks; static full
+    sweep in interpret mode (dynamic grids aren't interpretable)."""
+    if interpret:
+        return n_blocks
+    v = valid[0] if valid.ndim else valid
+    return jnp.clip((v + block_m - 1) // block_m, 1, n_blocks)
 
 
 def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
@@ -378,7 +394,8 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     (vals [top_k, Np], idx [top_k, Np]).  Shared by ``pallas_memory_topk``
     (which transposes back) and the fused gated readout (which consumes the
     transposed orientation directly so its score recompute is bit-identical
-    to the selection's)."""
+    to the selection's).  The memory-axis grid is sized by the bank's
+    valid prefix (dynamic grid), so dead bank blocks are never fetched."""
     np_, ck = qk_p.shape
     mp_ = mk_p.shape[0]
     n_blocks = mp_ // block_m
@@ -388,9 +405,10 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     #                                   exactness when G*R < k anyway
     return pl.pallas_call(
         functools.partial(_kernel_tournament, block_m=block_m,
-                          top_k=top_k, scale=scale, n_blocks=n_blocks,
+                          top_k=top_k, scale=scale,
                           rounds=rounds, group=group),
-        grid=(np_ // block_q, n_blocks),
+        grid=(np_ // block_q,
+              live_blocks(valid, block_m, n_blocks, interpret)),
         in_specs=[
             pl.BlockSpec((block_q, ck), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -467,11 +485,11 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
     if method == "grid":
         n_blocks = mp_ // block_m
         kernel = functools.partial(
-            _kernel_grid, block_m=block_m, top_k=top_k,
-            scale=scale, n_blocks=n_blocks)
+            _kernel_grid, block_m=block_m, top_k=top_k, scale=scale)
         vals, idx = pl.pallas_call(
             kernel,
-            grid=(np_ // block_q, n_blocks),
+            grid=(np_ // block_q,
+                  live_blocks(valid, block_m, n_blocks, interpret)),
             in_specs=[
                 pl.BlockSpec((block_q, ck), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
