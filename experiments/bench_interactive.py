@@ -52,7 +52,15 @@ def main(t=60, h=480, w=854, rounds=10, max_interactions=60,
     order = [0, t - 1] + list(range(2, t - 1, max(1, t // rounds)))[:rounds - 2]
     total_frames = 0
     t0 = None
+    interacted = set()
     for r, idx in enumerate(order[:rounds]):
+        # frames this round's fwd+bwd passes actually propagate (the pass
+        # bounds are the nearest already-interacted frames on either side)
+        fwd = min((i for i in interacted if i > idx), default=t)
+        bwd = max((i for i in interacted if i < idx), default=-1)
+        n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
+        interacted.add(idx)
+
         m = pad_mask(masks[:, idx].astype(np.float32), pad)
         start = time.perf_counter()
         state = engine.interact(state, feats, m, idx)
@@ -62,12 +70,13 @@ def main(t=60, h=480, w=854, rounds=10, max_interactions=60,
             print(f"round 1 (compile): {dt:.1f}s", flush=True)
             t0 = time.perf_counter()
         else:
-            total_frames += t - 1  # fwd+bwd cover ~all frames
+            total_frames += n_frames
             print(f"round {r + 1}: bank={int(state.certain_count)} certain, "
-                  f"{dt * 1000:.0f} ms", flush=True)
+                  f"{n_frames} frames, {dt * 1000:.0f} ms", flush=True)
     elapsed = time.perf_counter() - t0
-    print(f"steady-state: {total_frames / elapsed:.1f} frames/sec "
-          f"over {rounds - 1} rounds", flush=True)
+    print(f"steady-state: {total_frames / elapsed:.1f} propagated frames/sec "
+          f"({(rounds - 1) / elapsed:.2f} rounds/sec) over {rounds - 1} "
+          f"rounds", flush=True)
 
 
 if __name__ == "__main__":
