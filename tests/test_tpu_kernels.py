@@ -1,0 +1,68 @@
+"""Compiled-kernel correctness on real TPU hardware.
+
+The CPU suite exercises the Pallas kernels in interpret mode with STATIC
+grids; the production path compiles with DYNAMIC live-prefix grids
+(``kernels.memory_topk.live_blocks``).  These tests validate the compiled
+kernels against the XLA oracle at several bank-fill levels on the actual
+backend.  They only run under ``EVAVOS_TEST_TPU=1`` (the conftest pins the
+default suite to the virtual CPU mesh, where Mosaic is unavailable);
+``experiments/r2_dyngrid_check.py`` is the larger-geometry version.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("EVAVOS_TEST_TPU")
+        or jax.default_backend() == "cpu",
+        reason="compiled-kernel test needs EVAVOS_TEST_TPU=1 + a TPU"),
+]
+
+HW = 256
+CK, CV, TOP_K = 64, 128, 20
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    m, q = 24 * HW, 2 * HW
+    return (jnp.asarray(rng.standard_normal((m, CK)), jnp.bfloat16),
+            jnp.asarray(rng.standard_normal((q, CK)), jnp.bfloat16),
+            jnp.asarray(rng.standard_normal((1, m, CV)), jnp.bfloat16))
+
+
+@pytest.mark.parametrize("slots", [2, 7, 24])
+def test_tournament_selection_exact(data, slots):
+    from eva_vos_tpu.kernels.memory_topk import pallas_memory_topk
+    from eva_vos_tpu.ops.memory_attention import memory_affinity_topk
+
+    mk, qk, _ = data
+    valid = slots * HW
+    w, i = pallas_memory_topk(mk, qk, TOP_K, valid, block_q=128,
+                              block_m=2048, method="tournament")
+    rw, ri = memory_affinity_topk(mk, qk, TOP_K, valid)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("slots", [2, 7, 24])
+def test_fused_readout_matches_gather(data, slots):
+    from eva_vos_tpu.kernels.memory_readout import pallas_fused_readout
+    from eva_vos_tpu.ops.memory_attention import memory_readout
+
+    mk, qk, mv = data
+    valid = slots * HW
+    out = pallas_fused_readout(mk, qk, mv, TOP_K, valid, block_q=128,
+                               block_m=2048)
+    ref = memory_readout(mk, qk, mv, top_k=TOP_K, valid_tokens=valid,
+                         strategy="gather")
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)  # bf16 accumulation
