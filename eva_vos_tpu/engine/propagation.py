@@ -44,14 +44,20 @@ from ..models.stcn import STCNFeatures
 
 
 class VideoFeatures(NamedTuple):
-    """Per-video precomputed tensors (padded resolution)."""
+    """Per-video precomputed tensors (padded resolution).
+
+    ``f8``/``f4`` hold the decoder's per-frame skip_conv OUTPUTS (same
+    shapes as the raw trunk features) — those convs are readout-independent
+    so they run once per video here instead of once per decode
+    (``PropagationNetwork.encode_skips``; decodes pass
+    ``skips_precomputed=True``)."""
 
     images: jnp.ndarray     # [T, nh, nw, 3] normalized frames
     k16: jnp.ndarray        # [T, hw, CK] key tokens
     f16_thin: jnp.ndarray   # [T, h, w, 512]
     f16: jnp.ndarray        # [T, h, w, 1024]
-    f8: jnp.ndarray         # [T, h8, w8, 512]
-    f4: jnp.ndarray         # [T, h4, w4, 256]
+    f8: jnp.ndarray         # [T, h8, w8, 512] decoder up_16_8 skip output
+    f4: jnp.ndarray         # [T, h4, w4, 256] decoder up_8_4 skip output
 
 
 class PropagationState(NamedTuple):
@@ -154,13 +160,16 @@ class InferenceEngine:
             lambda x: x.reshape(-1, *x.shape[2:])[:t], feats
         )
         k16 = feats.k16.reshape(t, -1, feats.k16.shape[-1])  # token-major keys
+        # hoist the decoder's per-frame skip convs out of the decode loop
+        skip8, skip4 = self.stcn.apply(self.stcn_params, feats.f8, feats.f4,
+                                       method="encode_skips")
         return VideoFeatures(
             images=images,
             k16=k16,
             f16_thin=feats.f16_thin,
             f16=feats.f16,
-            f8=feats.f8,
-            f4=feats.f4,
+            f8=skip8,
+            f4=skip4,
         )
 
     def precompute_features(self, images) -> VideoFeatures:
@@ -225,7 +234,7 @@ class InferenceEngine:
         prob = self.stcn.apply(
             self.stcn_params,
             readout, feats.f16_thin[ti], feats.f8[ti], feats.f4[ti],
-            method="decode_with_readout",
+            skips_precomputed=True, method="decode_with_readout",
         )  # [K, nh, nw]
         return prob
 
@@ -363,6 +372,7 @@ class InferenceEngine:
 
         def decode_one(ro, thin, f8, f4):
             return self.stcn.apply(self.stcn_params, ro, thin, f8, f4,
+                                   skips_precomputed=True,
                                    method="decode_with_readout")
 
         return jax.vmap(decode_one)(

@@ -101,17 +101,29 @@ class FeatureFusionBlock(nn.Module):
 
 
 class UpsampleBlock(nn.Module):
-    """skip_conv(skip) + 2x bilinear(up) -> ResBlock (``modules.py:152-163``)."""
+    """skip_conv(skip) + 2x bilinear(up) -> ResBlock (``modules.py:152-163``).
+
+    ``skip_is_conv=True`` means ``skip_f`` is already the skip_conv output
+    (the engine hoists the per-frame skip convs into its once-per-video
+    feature precompute — identical math, see ``Decoder.skips``).
+    """
 
     up_c: int
     out_c: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, skip_f, up_f):
-        x = nn.Conv(self.up_c, (3, 3), padding=1, dtype=self.dtype, name="skip_conv")(skip_f)
+    def setup(self):
+        self.skip_conv = nn.Conv(self.up_c, (3, 3), padding=1,
+                                 dtype=self.dtype)
+        self.out_conv = ResBlock(self.out_c, dtype=self.dtype)
+
+    def skip(self, skip_f):
+        return self.skip_conv(skip_f)
+
+    def __call__(self, skip_f, up_f, skip_is_conv: bool = False):
+        x = skip_f if skip_is_conv else self.skip_conv(skip_f)
         x = x + upsample2x(up_f)
-        return ResBlock(self.out_c, dtype=self.dtype, name="out_conv")(x)
+        return self.out_conv(x)
 
 
 class KeyProjection(nn.Module):

@@ -79,17 +79,30 @@ class ValueEncoder(nn.Module):
 class Decoder(nn.Module):
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, m16, f8, f4):
-        x = ResBlock(512, dtype=self.dtype, name="compress")(m16)
-        x = UpsampleBlock(512, 256, dtype=self.dtype, name="up_16_8")(f8, x)
-        x = UpsampleBlock(256, 256, dtype=self.dtype, name="up_8_4")(f4, x)
-        x = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="pred")(nn.relu(x))
+    def setup(self):
+        self.compress = ResBlock(512, dtype=self.dtype)
+        self.up_16_8 = UpsampleBlock(512, 256, dtype=self.dtype)
+        self.up_8_4 = UpsampleBlock(256, 256, dtype=self.dtype)
+        self.pred = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype)
+
+    def __call__(self, m16, f8, f4, skips_precomputed: bool = False):
+        """``skips_precomputed=True``: f8/f4 are already the UpsampleBlocks'
+        skip_conv outputs (see :meth:`skips`) — identical math, hoisted."""
+        x = self.compress(m16)
+        x = self.up_16_8(f8, x, skip_is_conv=skips_precomputed)
+        x = self.up_8_4(f4, x, skip_is_conv=skips_precomputed)
+        x = self.pred(nn.relu(x))
         # single 4x bilinear (two chained 2x passes have different phase
         # weights than the reference's F.interpolate(scale_factor=4),
         # prop_net.py:29)
         h, w = x.shape[-3], x.shape[-2]
         return resize_bilinear(x, (4 * h, 4 * w))
+
+    def skips(self, f8, f4):
+        """The two skip convolutions alone — per-frame, readout-independent,
+        so the engine computes them once per video rather than once per
+        decode (they are ~30% of the decoder's per-frame FLOPs)."""
+        return self.up_16_8.skip(f8), self.up_8_4.skip(f4)
 
 
 class PropagationNetwork(nn.Module):
@@ -143,15 +156,26 @@ class PropagationNetwork(nn.Module):
         kf16s = jnp.broadcast_to(kf16[None], (k, *kf16.shape))
         return self.value_encoder(frames, kf16s, masks, others)
 
-    def decode_with_readout(self, readout_value, qv16, qf8, qf4):
-        """[K, h, w, 512] memory readout + query features -> [K, H, W] probs."""
+    def decode_with_readout(self, readout_value, qv16, qf8, qf4,
+                            skips_precomputed: bool = False):
+        """[K, h, w, 512] memory readout + query features -> [K, H, W] probs.
+
+        ``skips_precomputed``: qf8/qf4 are already the decoder's skip_conv
+        outputs (``encode_skips``) — the engine hoists those per-frame convs
+        into feature precompute.
+        """
         k = readout_value.shape[0]
         qv = jnp.broadcast_to(qv16[None], (k, *qv16.shape))
         m4 = jnp.concatenate([readout_value, qv], axis=-1)
         f8 = jnp.broadcast_to(qf8[None], (k, *qf8.shape))
         f4 = jnp.broadcast_to(qf4[None], (k, *qf4.shape))
-        logits = self.decoder(m4, f8, f4)  # [K, H, W, 1]
+        logits = self.decoder(m4, f8, f4,
+                              skips_precomputed=skips_precomputed)
         return nn.sigmoid(logits[..., 0])
+
+    def encode_skips(self, f8, f4):
+        """Per-frame decoder skip-conv outputs (readout-independent)."""
+        return self.decoder.skips(f8, f4)
 
     def get_attention(self, mk16, pos_mask, neg_mask, qk16):
         """Fusion attention maps (``prop_net.py:198-210``).

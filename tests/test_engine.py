@@ -65,8 +65,10 @@ class Oracle:
                                  top_k=min(TOP_K, mk.shape[0]))
         h16, w16 = self.feats.f16_thin.shape[1:3]
         readout = readout.reshape(self.k, h16, w16, -1)
+        # engine-precomputed feats carry the hoisted skip-conv outputs
         prob = self.stcn.apply(self.sp, readout, self.feats.f16_thin[ti],
                                self.feats.f8[ti], self.feats.f4[ti],
+                               skips_precomputed=True,
                                method="decode_with_readout")
         return np.asarray(aggregate_wbg(prob.astype(jnp.float32), keep_bg=True))
 

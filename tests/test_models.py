@@ -56,6 +56,24 @@ class TestSTCN:
         assert feats.f8.shape == (2, H // 8, W // 8, 128)
         assert feats.f4.shape == (2, H // 4, W // 4, 64)
 
+    def test_precomputed_skips_identity(self, stcn, rng):
+        """decode(f8, f4) == decode(skip8, skip4, skips_precomputed=True):
+        the engine's hoisted skip convs are the same math."""
+        net, params = stcn
+        frame = jnp.asarray(rng.standard_normal((H, W, 3)), jnp.float32)
+        feats = net.apply(params, frame[None], method="encode_key")
+        ro = jnp.asarray(rng.standard_normal(
+            (1, H // 16, W // 16, net.value_dim)), jnp.float32)
+        ref = net.apply(params, ro, feats.f16_thin[0], feats.f8[0],
+                        feats.f4[0], method="decode_with_readout")
+        s8, s4 = net.apply(params, feats.f8, feats.f4,
+                           method="encode_skips")
+        hoisted = net.apply(params, ro, feats.f16_thin[0], s8[0], s4[0],
+                            skips_precomputed=True,
+                            method="decode_with_readout")
+        np.testing.assert_allclose(np.asarray(hoisted), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_encode_value_multiobject_others(self, stcn):
         net, params = stcn
         frame = jnp.zeros((H, W, 3))
