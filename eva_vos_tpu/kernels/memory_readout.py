@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .memory_topk import live_blocks, tournament_topk_t
+from .memory_topk import _compiler_params, live_blocks, tournament_topk_t
 
 NEG_INF = -1e30
 
@@ -177,6 +177,7 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
         out_specs=pl.BlockSpec((n_obj, block_q, cv), lambda j, i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_obj, np_, cv), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(qk_p, mk_p, msq, mv_p, vals_t, idx_t, valid)
 

@@ -39,6 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Mosaic's default scoped-VMEM budget is 16 MB; v5e has 128 MB.  Raising
+# the cap admits bigger memory blocks (fewer grid steps -> fewer running
+# top-k merges, the selection kernel's serial VPU cost) while leaving
+# room for double-buffered DMAs.
+VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
 
 def _merge_topk(run_vals, run_idx, new_vals, new_idx, k):
     """Merge two [Q, k] sorted-descending candidate sets -> top-k.
@@ -432,6 +442,7 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
             pltpu.VMEM((top_k, block_q), jnp.float32),
             pltpu.VMEM((top_k, block_q), jnp.int32),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(qk_p, mk_p, msq, valid)
 
@@ -513,6 +524,7 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
                 pltpu.VMEM((block_q, top_k), jnp.float32),
                 pltpu.VMEM((block_q, top_k), jnp.int32),
             ],
+            compiler_params=_compiler_params(),
             interpret=interpret,
         )(qk_p, mk_p, msq, valid)
         vals = vals[:n]
