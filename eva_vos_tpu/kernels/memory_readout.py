@@ -20,6 +20,14 @@ bank through VMEM a second time and, per block,
    traffic at all.  The bank block is the OUTER grid dimension, so each
    mk/mv block is DMA'd once total (bank traffic O(M), not
    O(M * N/block_q)),
+
+   NOTE (ADVICE r2): using the revisited output block as the fp32
+   accumulator relies on Mosaic's output-revisit semantics (the block is
+   re-fetched when the same output index recurs non-consecutively across
+   grid steps).  This is validated empirically by the TPU-gated tests
+   (``tests/test_tpu_kernels.py`` — run them for any jax/Mosaic bump);
+   if it ever breaks, swap the accumulator for a per-query-tile VMEM
+   scratch (grid order would then need query tiles OUTER).
 4. normalizes by the softmax denominator in-kernel on the last bank block.
 
 The memory-axis grid is sized by the bank's valid prefix (dynamic grid,
@@ -38,7 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .memory_topk import _compiler_params, live_blocks, tournament_topk_t
+from .memory_topk import (_compiler_params, live_blocks, tournament_topk_t,
+                          validate_block_geometry)
 
 NEG_INF = -1e30
 
@@ -151,6 +160,10 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
 
     rb = readout_block_m
     n_blocks = mp_ // rb
+    if not interpret:
+        validate_block_geometry(block_q=block_q, block_m=rb, ck=ck,
+                                top_k=top_k, cv=cv, n_obj=n_obj,
+                                kernel="readout")
 
     # bank block is the OUTER grid dim (query tiles inner): each mv/mk
     # block is fetched once total; the fp32 output blocks are revisited

@@ -39,15 +39,88 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# Mosaic's default scoped-VMEM budget is 16 MB; v5e has 128 MB.  Raising
-# the cap admits bigger memory blocks (fewer grid steps -> fewer running
-# top-k merges, the selection kernel's serial VPU cost) while leaving
-# room for double-buffered DMAs.
-VMEM_LIMIT = 96 * 1024 * 1024
+# Mosaic's default scoped-VMEM budget is 16 MB; newer TPU generations have
+# 128 MB.  Raising the cap admits bigger memory blocks (fewer grid steps ->
+# fewer running top-k merges, the selection kernel's serial VPU cost) while
+# leaving room for double-buffered DMAs.  The cap is derived from the local
+# device generation (ADVICE r2: a hardcoded 96 MB fails to compile on
+# 16 MB-VMEM parts) and can be overridden with EVAVOS_VMEM_LIMIT_MB.
+_VMEM_TOTAL_MB = {  # per-core VMEM by device_kind prefix
+    "TPU v2": 16, "TPU v3": 16, "TPU v4": 128, "TPU v5": 128,
+    "TPU v6": 128, "TPU7": 128,
+}
+
+
+def _vmem_limit_bytes() -> int:
+    import os
+
+    env = os.environ.get("EVAVOS_VMEM_LIMIT_MB")
+    if env:
+        return int(env) * 1024 * 1024
+    total_mb = None
+    try:
+        kind = jax.devices()[0].device_kind
+        for prefix, mb in _VMEM_TOTAL_MB.items():
+            if kind.startswith(prefix):
+                total_mb = mb
+                break
+    except Exception:
+        pass
+    if total_mb is None:
+        total_mb = 16  # Mosaic default on unknown parts
+    # leave 1/4 headroom for Mosaic's own buffers / DMA double-buffering
+    return (total_mb * 3 // 4) * 1024 * 1024
+
+
+VMEM_LIMIT = None  # resolved lazily (jax.devices() at import time is costly)
 
 
 def _compiler_params():
+    global VMEM_LIMIT
+    if VMEM_LIMIT is None:
+        VMEM_LIMIT = _vmem_limit_bytes()
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
+def validate_block_geometry(*, block_q: int, block_m: int, ck: int,
+                            top_k: int, cv: int = 0, n_obj: int = 0,
+                            kernel: str = "selection") -> None:
+    """Cheap VMEM-footprint estimate; raises a descriptive ValueError for
+    block geometries that cannot fit the scoped-VMEM budget (ADVICE r2:
+    oversized blocks otherwise surface as opaque backend JaxRuntimeErrors
+    — the r2_dyngrid_sweep log shows block_q=512 and block_m=8192 dying
+    deep in Mosaic).  The model counts the major VMEM residents: the
+    double-buffered bank blocks, the [block_m, block_q] fp32 score tile
+    (x3 for elementwise intermediates), candidate/output buffers, and for
+    the readout kernel the double-buffered value blocks + fp32 accumulator.
+    """
+    limit = _vmem_limit_bytes()
+    f32 = 4
+    # Empirical calibration on v5e at the 96 MiB cap (r2_dyngrid_sweep):
+    # the selection kernel compiles at a 128x4096 score tile and dies at
+    # 128x8192 / 512x4096; the readout runs at 128x2048 and dies at
+    # 256x4096.  Mosaic's live set is therefore ~dozens of fp32 words per
+    # score element (tournament rounds + escalation branch + gated
+    # contrib all co-resident), so gate on the score-tile element count,
+    # scaled by the device's scoped budget.
+    max_elems = (1 << 19) * limit // (96 * 1024 * 1024)
+    elems = block_m * block_q
+    # plus the kernel's statically-sized residents must leave room
+    fixed = 2 * block_m * ck * f32 + block_m * f32 + block_q * ck * f32
+    fixed += 4 * top_k * block_q * f32
+    if kernel == "readout":
+        fixed += 2 * n_obj * block_m * cv * f32     # mv double-buffered
+        fixed += n_obj * block_q * cv * f32         # fp32 accumulator
+    if elems > max_elems or fixed > limit // 2:
+        raise ValueError(
+            f"pallas {kernel} kernel block geometry (block_q={block_q}, "
+            f"block_m={block_m}, top_k={top_k}, ck={ck}"
+            + (f", cv={cv}, n_obj={n_obj}" if kernel == "readout" else "")
+            + f") exceeds the ~{limit / 2**20:.0f} MiB scoped-VMEM budget "
+            f"on this device (score tile {elems} elems > {max_elems}, or "
+            f"fixed buffers {fixed / 2**20:.1f} MiB) — shrink "
+            f"block_m/block_q (or raise EVAVOS_VMEM_LIMIT_MB if the device "
+            f"allows)")
 
 
 def _merge_topk(run_vals, run_idx, new_vals, new_idx, k):
@@ -391,7 +464,13 @@ def live_blocks(valid, block_m: int, n_blocks: int, interpret: bool):
     valid prefix (>= 1 so the output write always fires).  Dynamic (traced)
     on compiled backends — dead blocks then cost neither DMA nor grid
     steps, the big win for mostly-empty interactive banks; static full
-    sweep in interpret mode (dynamic grids aren't interpretable)."""
+    sweep in interpret mode (dynamic grids aren't interpretable).
+
+    NOTE (ADVICE r2): because interpret mode always sees the static full
+    grid, the CPU suite never exercises the dynamic-grid path (traced
+    extent, num_programs-based last-block writes).  That path is covered
+    only by the TPU-gated tests (``tests/test_tpu_kernels.py``,
+    EVAVOS_TEST_TPU=1) — run those on hardware for every change here."""
     if interpret:
         return n_blocks
     v = valid[0] if valid.ndim else valid
@@ -409,6 +488,9 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     np_, ck = qk_p.shape
     mp_ = mk_p.shape[0]
     n_blocks = mp_ // block_m
+    if not interpret:
+        validate_block_geometry(block_q=block_q, block_m=block_m, ck=ck,
+                                top_k=top_k, kernel="selection")
     group = 128 if block_m % 128 == 0 else block_m
     g = block_m // group
     rounds = max(4, -(-top_k // g))  # ceil; verify/escalate keeps

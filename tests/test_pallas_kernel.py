@@ -92,3 +92,32 @@ def test_padding_of_n(rng):
                               interpret=True)
     assert w.shape == (n, top_k)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_block_geometry_validation():
+    """Oversized block geometries raise a descriptive ValueError instead of
+    an opaque backend JaxRuntimeError (ADVICE r2).  Calibrated on the
+    r2_dyngrid_sweep crash cases at the v5e 96 MiB scoped budget."""
+    import os
+    from eva_vos_tpu.kernels.memory_topk import validate_block_geometry
+
+    os.environ["EVAVOS_VMEM_LIMIT_MB"] = "96"
+    try:
+        # production geometries pass
+        validate_block_geometry(block_q=128, block_m=4096, ck=64, top_k=50)
+        validate_block_geometry(block_q=128, block_m=2048, ck=64, top_k=50,
+                                cv=512, n_obj=1, kernel="readout")
+        # the r2 crash cases reject with a readable message
+        for kw in (dict(block_q=512, block_m=4096, ck=64, top_k=50),
+                   dict(block_q=128, block_m=8192, ck=64, top_k=50),
+                   dict(block_q=256, block_m=4096, ck=64, top_k=50,
+                        cv=512, n_obj=1, kernel="readout")):
+            with pytest.raises(ValueError, match="scoped-VMEM"):
+                validate_block_geometry(**kw)
+        # tighter devices reject the production geometry too
+        os.environ["EVAVOS_VMEM_LIMIT_MB"] = "12"
+        with pytest.raises(ValueError, match="scoped-VMEM"):
+            validate_block_geometry(block_q=128, block_m=4096, ck=64,
+                                    top_k=50)
+    finally:
+        del os.environ["EVAVOS_VMEM_LIMIT_MB"]
