@@ -75,3 +75,34 @@ class TestRankPolicy:
         df = pd.read_csv(ranking_csv(tmp_path))
         hours, points = rank_policy(df)
         assert (np.diff(hours) > 0).all()
+
+
+def test_overlays_render(tmp_path):
+    """Annotator debug overlays (reference annotator/util.py:16-53):
+    mask/points/box render onto an Agg axes and the session composer
+    writes a PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from eva_vos_tpu.vis import (show_mask, show_mask_thickness, show_points,
+                                 show_box, save_click_session)
+
+    h, w = 32, 48
+    mask = np.zeros((h, w)); mask[8:20, 10:30] = 1
+    fig, ax = plt.subplots()
+    show_mask(mask, ax)
+    show_mask_thickness(mask, ax, thickness=3)
+    show_points(np.array([[12.0, 9.0], [40.0, 28.0], [20.0, 15.0]]),
+                np.array([1, 0, 2]), ax)
+    show_box([10, 8, 30, 20], ax)
+    # boundary ring: dilation-xor produces white pixels around the mask
+    plt.close(fig)
+
+    img = np.random.default_rng(0).random((h, w, 3))
+    out = tmp_path / "session.png"
+    save_click_session(img, mask, str(out),
+                       coords=np.array([[12.0, 9.0]]), labels=np.array([1]),
+                       box=[10, 8, 30, 20], gt_mask=mask, title="round 3")
+    assert out.exists() and out.stat().st_size > 0
