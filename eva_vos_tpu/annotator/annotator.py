@@ -39,18 +39,40 @@ def denormalize_to_uint8(im) -> np.ndarray:
 
 
 class Annotator:
-    def __init__(self, sam_controller, prompt_type: str = "c"):
+    def __init__(self, sam_controller, prompt_type: str = "c",
+                 cache_embeddings: bool = True):
         assert prompt_type in {"a", "b", "c"}
         self.sam = sam_controller
         self.click_robot = ClickRobot()
         self.bbox_robot = BboxRobot()
         self.prompt_type = prompt_type
+        # per-frame SAM embedding cache: the same frame is re-embedded on
+        # every re-annotation round in the reference
+        # (``mulitple_annotations.py:291`` + ``annotator.py:30-36``); the
+        # encoder is deterministic per frame, so caching is a pure win.
+        # Keys are caller-chosen (the loops use the frame index and clear
+        # per video).
+        self.cache_embeddings = cache_embeddings and hasattr(
+            sam_controller, "export_embedding_state")
+        self._embed_cache = {}
 
     # ------------------------------------------------------------------
-    def set_image_to_sam(self, im):
+    def clear_sam_cache(self):
+        """Drop cached embeddings (call between videos — keys are per-video
+        frame indices)."""
+        self._embed_cache.clear()
+
+    def set_image_to_sam(self, im, cache_key=None):
         """im: [H, W, 3] normalized float image (channel-last)."""
+        if cache_key is not None and self.cache_embeddings:
+            hit = self._embed_cache.get(cache_key)
+            if hit is not None:
+                self.sam.restore_embedding_state(hit)
+                return
         self.sam.reset_image()
         self.sam.set_image(denormalize_to_uint8(im))
+        if cache_key is not None and self.cache_embeddings:
+            self._embed_cache[cache_key] = self.sam.export_embedding_state()
 
     def best_sam_mask(self, sam_masks, target_mask):
         """Highest-IoU output; first strict improvement wins, index -1 when
@@ -96,7 +118,7 @@ class Annotator:
 
     # ------------------------------------------------------------------
     def get_mask(self, annotation_type, gt_mask, im=None, num_prompts=1,
-                 mivos_mask=None, prev_iter_data=None):
+                 mivos_mask=None, prev_iter_data=None, cache_key=None):
         """Returns (mask [1?, H, W] bool-ish, cost_s, quality, sam_logits,
         prompt_clicks, prompt_labels, bbox)."""
         assert annotation_type in {"mask", "click", "bbox"}
@@ -107,7 +129,7 @@ class Annotator:
         if annotation_type == "mask":
             return gt, ANNOTATION_COSTS["mask"], 1, None, None, None, None
 
-        self.set_image_to_sam(im)
+        self.set_image_to_sam(im, cache_key=cache_key)
         gt_bool = gt.astype(bool)
         if annotation_type == "click":
             return self._click_rounds(gt_bool, num_prompts, mivos_mask,

@@ -40,6 +40,15 @@ class FakeSAMController:
         rng = np.random.default_rng(self._hw[0] * 10007 + self._hw[1])
         return rng.standard_normal((256, 64, 64)).astype(np.float32)
 
+    def export_embedding_state(self):
+        """Same caching contract as ``SAMController``."""
+        assert self.embedded
+        return self._hw
+
+    def restore_embedding_state(self, state):
+        self._hw = state
+        self.embedded = True
+
     # -- prediction ----------------------------------------------------------
     def _disk(self, cx, cy, r):
         h, w = self._hw

@@ -83,6 +83,8 @@ def main(argv=None):
     rows = []
     for sample in samples:
         session = initialize(engine, sample)
+        if hasattr(annotator, "clear_sam_cache"):
+            annotator.clear_sam_cache()  # cache keys are per-video frames
         metric = None
         gen_masks = None
         video_cost = 0.0
@@ -101,7 +103,7 @@ def main(argv=None):
                 save_png(out_root / "Masks" / f"{state_id}.png",
                          (gen_masks[frame] * 255).astype(np.uint8))
 
-                annotator.set_image_to_sam(im)
+                annotator.set_image_to_sam(im, cache_key=frame)
                 emb = np.asarray(annotator.sam.get_image_embedding(),
                                  np.float32)
                 os.makedirs(out_root / "SAM_Embeddings", exist_ok=True)

@@ -26,7 +26,7 @@ from ..utils.seeding import seed_everything
 from ..utils.logging import MetricsLogger
 from ..utils.checkpoint import save_checkpoint, restore_checkpoint
 from ..data.datasets import AnnotTypeDB
-from ..train.ppo import RolloutStorage, rollout, PPOTrainer
+from ..train.ppo import RolloutStorage, rollout, batched_rollouts, PPOTrainer
 from ..ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 
 
@@ -54,6 +54,11 @@ def build_parser():
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--sam", default="vit_h",
                    help="'vit_h'/'vit_l'/'vit_b' or 'fake' for smoke runs")
+    p.add_argument("--sequential", action="store_true",
+                   help="step the 40 envs one-by-one (the reference's loop, "
+                        "train_rl_agent.py:86-106) instead of the default "
+                        "vectorized fleet (one batched SAM encode per batch, "
+                        "one vmapped decode per step)")
     p.add_argument("--allow-random", action="store_true")
     p.add_argument("--out", default="model_weights/rl_agent")
     return p
@@ -102,12 +107,25 @@ def main(argv=None):
         order = rng.permutation(len(train_db))
         avg_loss, avg_reward, batches = 0.0, 0.0, 0
         for start in range(0, len(order) - args.num_envs + 1, args.num_envs):
-            for e, di in enumerate(order[start:start + args.num_envs]):
-                item = train_db[int(di)]
-                rollout(trainer, sam_controller, normalize(item["img"]),
-                        item["gt_mask"], item["mask"], e, storage,
-                        args.num_steps, args.gamma, args.advantages, rng)
-                iters += 1
+            items = [train_db[int(di)]
+                     for di in order[start:start + args.num_envs]]
+            if args.sequential:
+                for e, item in enumerate(items):
+                    rollout(trainer, sam_controller, normalize(item["img"]),
+                            item["gt_mask"], item["mask"], e, storage,
+                            args.num_steps, args.gamma, args.advantages, rng)
+            else:
+                # TPU-default: the whole fleet shares one batched SAM encode
+                # and one vmapped decode per step (vector_env.py); env-wise
+                # semantics are lockstep-equal to the sequential path
+                batched_rollouts(
+                    trainer, sam_controller,
+                    [normalize(item["img"]) for item in items],
+                    [item["gt_mask"] for item in items],
+                    [item["mask"] for item in items],
+                    storage, args.num_steps, args.gamma, args.advantages,
+                    rng)
+            iters += len(items)
             avg_reward += storage.mean_valid_reward()
             avg_loss += trainer.optimize(storage, rng)
             batches += 1

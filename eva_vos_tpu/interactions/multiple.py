@@ -38,11 +38,12 @@ def ann_type_to_annotator_input(annot_type: str):
 
 
 def annotate(annotator, annot_type, gt_mask, im, mivos_mask=None,
-             frame_annots=None):
+             frame_annots=None, cache_key=None):
     ann_type, num_prompts = ann_type_to_annotator_input(annot_type)
     return annotator.get_mask(
         annotation_type=ann_type, num_prompts=num_prompts, gt_mask=gt_mask,
-        im=im, mivos_mask=mivos_mask, prev_iter_data=frame_annots)
+        im=im, mivos_mask=mivos_mask, prev_iter_data=frame_annots,
+        cache_key=cache_key)
 
 
 def oracle_action(annotator, annotation_types, gt_mask, mivos_mask, im,
@@ -60,7 +61,8 @@ def oracle_action(annotator, annotation_types, gt_mask, mivos_mask, im,
             continue
         sam_mask, cost, curr_iou, logits, clicks, labels, bbox = annotate(
             annotator, ann_type, gt_mask, im, np.asarray(mivos_mask, bool),
-            frame_annots=frame_annots)
+            frame_annots=frame_annots,
+            cache_key=frame_num if frame_num >= 0 else None)
         r = reward_func(curr_iou, cost, init_iou)
         actions_data[ann_type] = {"iou": curr_iou, "cost": cost, "reward": r}
         if r >= best["reward"]:
@@ -114,6 +116,8 @@ def _run_multi_loop(engine, sample, rounds, annotator, eval_metric,
     choose_next_frame(session, gen_masks, metric, r) -> int or None (stop)
     """
     session = initialize(engine, sample)
+    if hasattr(annotator, "clear_sam_cache"):
+        annotator.clear_sam_cache()  # keys are per-video frame indices
     session.annotation_times = []
     metric = None
     gen_masks = None
@@ -214,7 +218,7 @@ def rand_type(rounds, engine, sample, annotator, annotation_type="3clicks",
             annotator, annotation_type, session.sample.gt[0, frame],
             _frame_image(session, frame),
             np.asarray(gen_masks[frame], bool),
-            frame_annots=session.pf_annots[frame])
+            frame_annots=session.pf_annots[frame], cache_key=frame)
         mask = store_action_data(session, frame, annotation_type, sam_mask,
                                  clicks, labels, bbox, logits)
         return mask, cost, annotation_type
@@ -240,7 +244,7 @@ def rand_rand(rounds, engine, sample, annotator,
             annotator, ann_action, session.sample.gt[0, frame],
             _frame_image(session, frame),
             np.asarray(gen_masks[frame], bool),
-            frame_annots=session.pf_annots[frame])
+            frame_annots=session.pf_annots[frame], cache_key=frame)
         mask = store_action_data(session, frame, ann_action, sam_mask,
                                  clicks, labels, bbox, logits)
         return mask, cost, ann_action
@@ -255,7 +259,7 @@ def rand_rand(rounds, engine, sample, annotator,
 
 
 def rl_agent_annotate(annotator, rl_agent_act, mivos_mask, gt_mask, im,
-                      frame_annots):
+                      frame_annots, frame=None):
     """RL-agent annotation-type choice for one frame
     (``mulitple_annotations.py:286-304``).
 
@@ -267,7 +271,7 @@ def rl_agent_annotate(annotator, rl_agent_act, mivos_mask, gt_mask, im,
         return (np.asarray(gt_mask)[None], ANNOTATION_COSTS["no_object"],
                 "no_object", None, None, None, None, 0)
 
-    annotator.set_image_to_sam(im)
+    annotator.set_image_to_sam(im, cache_key=frame)
     emb = np.asarray(annotator.sam.get_image_embedding())  # [256, 64, 64]
     emb = np.transpose(emb, (1, 2, 0))[None]               # [1, 64, 64, 256]
     mask224 = np.asarray(masks_to_224_3ch(
@@ -278,7 +282,7 @@ def rl_agent_annotate(annotator, rl_agent_act, mivos_mask, gt_mask, im,
     ann_type = avail_actions[int(action)]
     sam_mask, cost, _, logits, clicks, labels, bbox = annotate(
         annotator, ann_type, gt_mask, im, np.asarray(mivos_mask, bool),
-        frame_annots=frame_annots)
+        frame_annots=frame_annots, cache_key=frame)
     return sam_mask, cost, ann_type, logits, clicks, labels, bbox, float(value)
 
 
@@ -295,7 +299,7 @@ def eva_vos(qnet_extract, rl_agent_act, rounds, engine, sample, annotator,
             rl_agent_annotate(
                 annotator, rl_agent_act, gen_masks[frame],
                 session.sample.gt[0, frame], _frame_image(session, frame),
-                session.pf_annots[frame])
+                session.pf_annots[frame], frame=frame)
         rl_values.append(value)
         mask = store_action_data(session, frame, action, sam_mask,
                                  clicks, labels, bbox, logits)

@@ -250,6 +250,21 @@ class SAMController:
     def get_image_embedding(self) -> np.ndarray:
         return self.predictor.get_image_embedding()
 
+    def export_embedding_state(self):
+        """Opaque embedding state for caching (the on-device features plus
+        the size bookkeeping) — same-frame re-annotation rounds restore it
+        instead of re-running the ViT-H encoder (the reference re-embeds
+        every round, ``mulitple_annotations.py:291``)."""
+        assert self.embedded
+        p = self.predictor
+        return (p.features, p.original_size, p.input_size)
+
+    def restore_embedding_state(self, state):
+        p = self.predictor
+        p.features, p.original_size, p.input_size = state
+        p.is_image_set = True
+        self.embedded = True
+
     def predict(self, click_coords=None, click_labels=None, bbox=None,
                 mask_input=None, multimask_output=True):
         assert self.embedded, "prediction called before set_image"

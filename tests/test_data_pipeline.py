@@ -202,3 +202,51 @@ class TestAnnotationDataset:
         ds = AnnotationDataset(root, imset, min_idx=1, max_idx=1)
         assert len(ds) == 1
         assert ds[0].name == "v__2"
+
+
+@pytest.mark.slow
+class TestRLAgentCLI:
+    """CLI-level coverage of train_rl_agent (VERDICT r2 #4): the default
+    path drives the vectorized fleet (batched_rollouts); --sequential keeps
+    the reference's per-env loop.  Both train over a generated AnnotDB with
+    the FakeSAM and write best + iteration checkpoints."""
+
+    def _run(self, annot_db_dir, tmp_path, monkeypatch, extra):
+        from eva_vos_tpu.cli.train_rl_agent import main
+
+        monkeypatch.setenv("EVAVOS_DATA_ROOT", str(annot_db_dir.parent))
+        out = tmp_path / ("rl_out_" + ("seq" if extra else "vec"))
+        # the generated AnnotDB dir is named by mktemp; point AnnotDB at it
+        import os
+        link = annot_db_dir.parent / "AnnotDB"
+        if not link.exists():
+            os.symlink(annot_db_dir, link)
+        # AnnotTypeDB reads gt from the sibling MOSE annotation tree;
+        # synthesize it from the same deterministic synthetic video
+        from eva_vos_tpu.data.datasets import make_synthetic_sample
+
+        sample = make_synthetic_sample(t=6, h=64, w=96, seed=0)
+        ann_dir = (annot_db_dir.parent / "MOSE" / "Annotations" / "480p"
+                   / "synthetic_0")
+        if not ann_dir.exists():
+            ann_dir.mkdir(parents=True)
+            for f in range(sample.gt.shape[1]):
+                save_palette_png(sample.gt[0, f].astype(np.uint8),
+                                 ann_dir / f"{f:05d}.png")
+        argv = ["--rollouts", "4", "--num-envs", "2", "--num-steps", "2",
+                "--mini-batch", "1", "--ppo-epochs", "1", "--sam", "fake",
+                "--imset", "train", "--no-sample", "--out", str(out)] + extra
+        main(argv)
+        assert (out / "_checkpoint").exists()
+        assert (out / "model").exists()
+        from eva_vos_tpu.utils.checkpoint import restore_checkpoint
+
+        ck = restore_checkpoint(out / "_checkpoint")
+        assert int(ck["iters"]) >= 4
+        return out
+
+    def test_vectorized_default(self, annot_db_dir, tmp_path, monkeypatch):
+        self._run(annot_db_dir, tmp_path, monkeypatch, [])
+
+    def test_sequential_flag(self, annot_db_dir, tmp_path, monkeypatch):
+        self._run(annot_db_dir, tmp_path, monkeypatch, ["--sequential"])

@@ -222,3 +222,48 @@ class TestFarthestPoint:
         feats = np.array([[0.0], [5.0], [9.0]], dtype=np.float32)
         # 2 interacted -> its min distance is 0; frame 1 is farthest from both
         assert farthest_point_selection(feats, [0, 2]) == 1
+
+
+class TestEmbeddingCache:
+    """VERDICT r2 #6: per-frame SAM embedding cache — identical results,
+    fewer encoder runs."""
+
+    class CountingFakeSAM(FakeSAMController):
+        def __init__(self):
+            super().__init__()
+            self.encode_calls = 0
+
+        def set_image(self, image):
+            self.encode_calls += 1
+            super().set_image(image)
+
+    def test_rand_type_parity_and_hit_count(self, engine, sample):
+        results = {}
+        encodes = {}
+        for cached in (False, True):
+            sam = self.CountingFakeSAM()
+            ann = Annotator(sam, cache_embeddings=cached)
+            mus, times, actions = rand_type(
+                5, engine, sample, ann, annotation_type="3clicks",
+                rng=np.random.default_rng(7))
+            results[cached] = (mus, times, actions)
+            encodes[cached] = sam.encode_calls
+        # bit-identical session results
+        np.testing.assert_allclose(results[True][0], results[False][0])
+        assert results[True][1] == results[False][1]
+        assert results[True][2] == results[False][2]
+        # the cache must save encoder runs (5 rounds can revisit frames;
+        # at minimum the uncached path re-embeds per annotate call)
+        assert encodes[True] < encodes[False]
+
+    def test_cache_cleared_between_videos(self, engine, sample):
+        sam = self.CountingFakeSAM()
+        ann = Annotator(sam, cache_embeddings=True)
+        rand_type(3, engine, sample, ann, annotation_type="3clicks",
+                  rng=np.random.default_rng(7))
+        assert len(ann._embed_cache) > 0
+        first = sam.encode_calls
+        # a second video run clears the per-video keys and re-embeds
+        rand_type(3, engine, sample, ann, annotation_type="3clicks",
+                  rng=np.random.default_rng(7))
+        assert sam.encode_calls > first
