@@ -49,6 +49,14 @@ def build_parser():
                    help="Only used with l2_mask policy")
     p.add_argument("--min-idx", type=int)
     p.add_argument("--max-idx", type=int)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host experiment sharding: initialize "
+                        "jax.distributed (EVAVOS_COORDINATOR / "
+                        "EVAVOS_NUM_PROCESSES / EVAVOS_PROCESS_ID env) and "
+                        "derive this host's --min-idx/--max-idx video "
+                        "shard automatically (the reference's manual "
+                        "multi-GPU split, README + "
+                        "annotation_dataset.py:56-58)")
     p.add_argument("--types", nargs="+", default=["3clicks", "mask"])
     p.add_argument("--metric", default="j_and_f", choices=["j", "j_and_f"])
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
@@ -136,6 +144,13 @@ def iter_samples(args):
         imset = root / "ImageSets" / "test.txt"
     else:
         imset = root / "ImageSets" / "2017" / "val.txt"
+    if args.multihost and args.min_idx is None and args.max_idx is None:
+        # derive this host's contiguous video shard from the process grid
+        from ..parallel import host_shard_range
+
+        full = AnnotationDataset(root, imset)
+        lo, hi = host_shard_range(len(full))
+        args.min_idx, args.max_idx = lo, hi
     ds = AnnotationDataset(root, imset, min_idx=args.min_idx,
                            max_idx=args.max_idx)
     yield from ds
@@ -175,6 +190,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     assert args.policy in POLICIES, f"Policy: {args.policy} is invalid!"
     assert args.rounds >= 1, "At least one round is required"
+    if args.multihost:
+        from ..parallel import init_distributed
+
+        init_distributed()  # no-op unless EVAVOS_NUM_PROCESSES > 1
     seed_everything()
     rng = np.random.default_rng(29102910)
 

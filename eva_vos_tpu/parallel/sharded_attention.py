@@ -91,3 +91,57 @@ def sharded_memory_readout(mk, qk, mv, top_k: int, mesh: Mesh,
         check_vma=False,
     )
     return fn(mk, qk, mv, valid_arr).astype(mv.dtype)
+
+
+def comm_model_bytes(n_queries: int, top_k: int, cv: int, k_obj: int,
+                     n_shards: int) -> dict:
+    """Analytic per-chip collective volume of ``sharded_memory_readout``.
+
+    Two collectives ride the ICI per readout:
+    * all-gather of the candidate sets: every chip receives the other
+      chips' [N, k_local] fp32 values + int32 global ids
+      -> 2 * 4 * N * min(top_k, m_local) * n_shards bytes received;
+    * psum of the partial readout [K, N, CV] fp32
+      -> 4 * K * N * CV bytes reduced per chip (ring all-reduce moves
+      ~2x the buffer per chip independent of shard count).
+
+    Crucially NOTHING scales with the bank size M — the bank stays
+    resident on its owning chips; only candidates and the readout cross
+    the interconnect.
+    """
+    gather = 2 * 4 * n_queries * top_k * n_shards
+    psum = 2 * 4 * k_obj * n_queries * cv
+    return {"all_gather_bytes": gather, "psum_bytes": psum,
+            "total_bytes": gather + psum}
+
+
+_COLLECTIVE_OPS = ("all-gather", "all-reduce", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1}
+
+
+def collective_bytes_from_hlo(hlo_text: str) -> dict:
+    """Sum the result-shape bytes of every collective op in an HLO dump —
+    the measured counterpart of :func:`comm_model_bytes` (used by the
+    multichip dryrun to assert the sharded readout's comm volume really
+    is bank-size-independent)."""
+    import re
+
+    totals: dict = {op: 0 for op in _COLLECTIVE_OPS}
+    # e.g.:  %ag = f32[8,12,7]{...} all-gather(...)
+    pat = re.compile(
+        r"=\s+(?:\()?([a-z0-9]+)\[([0-9,]*)\][^=]*?\b("
+        + "|".join(_COLLECTIVE_OPS) + r")\(")
+    for m in pat.finditer(hlo_text):
+        dtype, dims, op = m.groups()
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        totals[op] += n * _DTYPE_BYTES[dtype]
+    totals["total_bytes"] = sum(totals[op] for op in _COLLECTIVE_OPS)
+    return totals

@@ -1,0 +1,265 @@
+"""Round-for-round policy-loop parity vs the IMPORTED reference loops.
+
+VERDICT r2 missing-item #1: episode parity previously stopped at
+``InferenceCore``; the round loops were only checked against reimplemented
+semantics.  Here the reference's ``interactions/{eval,mask,policies,
+mulitple_annotations}.py`` + ``annotator/annotator.py`` run UNMODIFIED on
+CPU (segment_anything/skimage/torchmetrics stubbed, ``.cuda()`` shimmed —
+``tests/reference_stubs.py``), with random-init torch nets converted to
+this framework, and the same synthetic video flows through BOTH stacks:
+
+  reference loop (torch InferenceCore + torch QNet/ActorCritic + FakeSAM
+  via the segment_anything stub)    vs    this framework's loop.
+
+Asserted per policy, round for round: mu_metric curve, annotation costs,
+selected frames, and (multi-type) chosen annotation actions.
+
+Deterministic policies only (qnet / oracle / upper-bound / oracle_oracle /
+eva_vos-with-argmax-agent); the rand_* loops draw from different RNG
+streams per framework by construction (SURVEY §7 "RNG parity").
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax
+import jax.numpy as jnp
+
+from reference_import import (import_reference_mivos,
+                              import_reference_models,
+                              import_reference_interactions)
+
+from eva_vos_tpu.models import PropagationNetwork, FusionNet
+from eva_vos_tpu.models.qnet import QualityNet
+from eva_vos_tpu.models.rl_agent import ActorCritic
+from eva_vos_tpu.engine import InferenceEngine
+from eva_vos_tpu.engine.propagation import EngineConfig
+from eva_vos_tpu.annotator import Annotator, FakeSAMController
+from eva_vos_tpu.data import synthetic_video
+from eva_vos_tpu.data.datasets import VideoSample
+from eva_vos_tpu.interactions.mask import (qnet_mask, oracle_mask,
+                                           upper_bound_mask)
+from eva_vos_tpu.interactions.multiple import oracle_oracle, eva_vos
+from eva_vos_tpu.ops.normalize import IMAGENET_MEAN, IMAGENET_STD
+from eva_vos_tpu.utils.weight_convert import (convert_stcn, convert_fusion,
+                                              convert_qnet,
+                                              convert_actor_critic)
+
+pytestmark = pytest.mark.slow
+
+T, H, W = 5, 48, 64
+TOP_K = 8
+ROUNDS = 4
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _nchw(x):
+    return torch.from_numpy(np.moveaxis(x, -1, -3).copy())
+
+
+@pytest.fixture(scope="module")
+def ref_interactions():
+    return import_reference_interactions()
+
+
+@pytest.fixture(scope="module")
+def video():
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=11)
+    return images, masks
+
+
+@pytest.fixture(scope="module")
+def ref_data(video):
+    """The reference loops' ``data`` dict (normalized rgb, gt, info)."""
+    images, masks = video
+    rgb = (images - IMAGENET_MEAN) / IMAGENET_STD       # [T, H, W, 3]
+    return {
+        "rgb": _nchw(rgb.astype(np.float32))[None],     # [1, T, 3, H, W]
+        "gt": torch.from_numpy(masks.astype(np.float32))[None, :, :, None],
+        "info": {"labels": [[1]],
+                 "num_frames": torch.tensor(T)},
+    }
+
+
+@pytest.fixture(scope="module")
+def sample(video):
+    images, masks = video
+    return VideoSample(name="parity__1", images01=images, gt=masks)
+
+
+@pytest.fixture(scope="module")
+def nets(ref_interactions):
+    """Matched-weights torch + flax nets (stcn, fusion, qnet, actor-critic)."""
+    prop_net, ref_fusion, _, _ = import_reference_mivos()
+    ref_qnet, ref_rl = import_reference_models()
+    torch.manual_seed(0)
+    tnet = prop_net.PropagationNetwork(top_k=TOP_K).eval()
+    t_fuse = ref_fusion.FusionNet().eval()
+    t_qnet = ref_qnet.QualityNet(merge_strategy="cat", arch="resnet18",
+                                 n_labels=20).eval()
+    t_rl = ref_rl.ActorCritic(out_dim=2, arch="resnet18", dropout=0.0).eval()
+
+    fnet = PropagationNetwork(top_k=TOP_K)
+    f_fuse = FusionNet()
+    f_qnet = QualityNet(merge_strategy="cat", arch="resnet18", n_labels=20)
+    f_rl = ActorCritic(out_dim=2, arch="resnet18", dropout=0.0)
+
+    return {
+        "torch": (tnet, t_fuse, t_qnet, t_rl),
+        "flax": (fnet, f_fuse, f_qnet, f_rl),
+        "vars": (jax.tree.map(jnp.asarray, convert_stcn(_sd(tnet))),
+                 jax.tree.map(jnp.asarray, convert_fusion(_sd(t_fuse))),
+                 jax.tree.map(jnp.asarray, convert_qnet(_sd(t_qnet))),
+                 jax.tree.map(jnp.asarray, convert_actor_critic(_sd(t_rl)))),
+    }
+
+
+def make_engine(nets):
+    fnet, f_fuse, _, _ = nets["flax"]
+    sv, fv, _, _ = nets["vars"]
+    cfg = EngineConfig(mem_freq=5, top_k=TOP_K,
+                       max_interactions=ROUNDS + 2, feature_chunk=2)
+    return InferenceEngine(fnet, f_fuse, sv, fv, cfg)
+
+
+def qnet_extract_fn(nets):
+    f_qnet = nets["flax"][2]
+    qv = nets["vars"][2]
+
+    @jax.jit
+    def extract(imgs, masks):
+        return f_qnet.apply(qv, imgs, masks, method="extract_features")
+
+    return extract
+
+
+class _ArgmaxAgent:
+    """Deterministic stand-in for PPOAgent on the torch side (the real
+    agent SAMPLES from Categorical; cross-framework RNG draws can't match,
+    so both sides act greedily for the parity check)."""
+
+    def __init__(self, ac_net):
+        self.ac_net = ac_net
+
+    def act(self, x_img, x_mask, x_cost=None):
+        with torch.no_grad():
+            logits, value = self.ac_net(x_img, x_mask)
+        return int(logits.argmax()), value
+
+
+def flax_argmax_act(nets):
+    f_rl = nets["flax"][3]
+    rv = nets["vars"][3]
+
+    @jax.jit
+    def fwd(emb, mask):
+        return f_rl.apply(rv, emb, mask)
+
+    def act(emb, mask224):
+        logits, value = fwd(jnp.asarray(emb), jnp.asarray(mask224))
+        return int(jnp.argmax(logits)), float(value.squeeze())
+
+    return act
+
+
+def assert_rounds_equal(got, ref, what, atol=2e-4):
+    got, ref = list(got), list(ref)
+    assert len(got) == len(ref), f"{what}: {len(got)} vs {len(ref)} rounds"
+    np.testing.assert_allclose(np.asarray(got, np.float64),
+                               np.asarray(ref, np.float64), atol=atol,
+                               err_msg=what)
+
+
+class TestMaskPolicyParity:
+    def test_oracle_mask(self, ref_interactions, nets, ref_data, sample):
+        _, ref_mask, _, _, _ = ref_interactions
+        tnet, t_fuse, _, _ = nets["torch"]
+        with torch.no_grad():
+            ref_mu, ref_times = ref_mask.oracle_mask(
+                ROUNDS, tnet, t_fuse, ref_data, eval_metric="j")
+        engine = make_engine(nets)
+        got_mu, got_times = oracle_mask(ROUNDS, engine, sample,
+                                        eval_metric="j")
+        assert_rounds_equal(got_mu, ref_mu, "oracle_mask mu_metric")
+        assert list(got_times) == list(ref_times), "oracle_mask times"
+
+    def test_qnet_mask(self, ref_interactions, nets, ref_data, sample):
+        _, ref_mask, _, _, _ = ref_interactions
+        tnet, t_fuse, t_qnet, _ = nets["torch"]
+        with torch.no_grad():
+            ref_mu, ref_times = ref_mask.qnet_mask(
+                t_qnet, ROUNDS, tnet, t_fuse, ref_data, eval_metric="j")
+        engine = make_engine(nets)
+        got_mu, got_times = qnet_mask(qnet_extract_fn(nets), ROUNDS, engine,
+                                      sample, eval_metric="j")
+        assert_rounds_equal(got_mu, ref_mu, "qnet_mask mu_metric")
+        assert list(got_times) == list(ref_times), "qnet_mask times"
+
+    def test_upper_bound_mask(self, ref_interactions, nets, ref_data,
+                              sample):
+        _, ref_mask, _, _, _ = ref_interactions
+        tnet, t_fuse, _, _ = nets["torch"]
+        with torch.no_grad():
+            ref_mu, ref_times = ref_mask.upper_bound_mask(
+                ROUNDS, tnet, t_fuse, ref_data, eval_metric="j")
+        engine = make_engine(nets)
+        got_mu, got_times = upper_bound_mask(ROUNDS, engine, sample,
+                                             eval_metric="j")
+        assert_rounds_equal(got_mu, ref_mu, "upper_bound_mask mu_metric")
+        assert list(got_times) == list(ref_times), "upper_bound_mask times"
+
+
+class TestMultiPolicyParity:
+    def test_oracle_oracle(self, ref_interactions, nets, ref_data, sample):
+        _, _, _, ref_multi, ref_annot = ref_interactions
+        tnet, t_fuse, _, _ = nets["torch"]
+        r_annotator = ref_annot.Annotator(prompt_type="c", device="cpu",
+                                          verbose=False)
+        with torch.no_grad():
+            ref_mu, ref_times, ref_actions, ref_metrics, ref_frames = \
+                ref_multi.oracle_oracle(
+                    ROUNDS, tnet, t_fuse, ref_data, r_annotator,
+                    annotation_types=["3clicks", "mask"], eval_metric="j")
+        engine = make_engine(nets)
+        annotator = Annotator(FakeSAMController())
+        got_mu, got_times, got_actions, got_metrics, got_frames = \
+            oracle_oracle(ROUNDS, engine, sample, annotator,
+                          annotation_types=("3clicks", "mask"),
+                          eval_metric="j")
+        assert_rounds_equal(got_mu, ref_mu, "oracle_oracle mu_metric")
+        assert [float(c) for c in got_times] == \
+            [float(c) for c in ref_times], "oracle_oracle costs"
+        assert list(got_actions) == list(ref_actions), "oracle_oracle actions"
+        assert [int(f) for f in got_frames] == \
+            [int(f) for f in ref_frames], "oracle_oracle frames"
+
+    def test_eva_vos(self, ref_interactions, nets, ref_data, sample):
+        _, _, _, ref_multi, ref_annot = ref_interactions
+        tnet, t_fuse, t_qnet, t_rl = nets["torch"]
+        r_annotator = ref_annot.Annotator(prompt_type="c", device="cpu",
+                                          verbose=False)
+        with torch.no_grad():
+            (ref_mu, ref_times, ref_values, ref_actions, ref_metrics,
+             ref_frames) = ref_multi.eva_vos(
+                t_qnet, _ArgmaxAgent(t_rl), ROUNDS, tnet, t_fuse,
+                ref_data, r_annotator,
+                annotation_types=["3clicks", "mask"], eval_metric="j")
+        engine = make_engine(nets)
+        annotator = Annotator(FakeSAMController())
+        (got_mu, got_times, got_values, got_actions, got_metrics,
+         got_frames) = eva_vos(
+            qnet_extract_fn(nets), flax_argmax_act(nets), ROUNDS, engine,
+            sample, annotator, annotation_types=("3clicks", "mask"),
+            eval_metric="j")
+        assert_rounds_equal(got_mu, ref_mu, "eva_vos mu_metric")
+        assert [float(c) for c in got_times] == \
+            [float(c) for c in ref_times], "eva_vos costs"
+        assert list(got_actions) == list(ref_actions), "eva_vos actions"
+        assert [int(f) for f in got_frames] == \
+            [int(f) for f in ref_frames], "eva_vos frames"
+        assert_rounds_equal(got_values, ref_values, "eva_vos rl values",
+                            atol=5e-3)

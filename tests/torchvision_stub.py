@@ -223,15 +223,91 @@ def install():
         setattr(models, name, _vit_unavailable)
 
     transforms = types.ModuleType("torchvision.transforms")
-    transforms.Compose = lambda fns: fns
     transforms.InterpolationMode = types.SimpleNamespace(
-        BICUBIC="bicubic", BILINEAR="bilinear")
-    for cls in ["Resize", "CenterCrop", "ToTensor", "Normalize"]:
+        BICUBIC="bicubic", BILINEAR="bilinear", NEAREST="nearest")
+
+    class _Compose:
+        """Functional Compose: applies callables; passes through the legacy
+        tuple placeholders some parity tests construct."""
+
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for fn in self.fns:
+                if callable(fn):
+                    x = fn(x)
+            return x
+
+        def __iter__(self):
+            return iter(self.fns)
+
+    class _Resize:
+        """Functional Resize over the LAST TWO axes of a torch tensor,
+        delegating to this framework's jax resize kernels so both stacks
+        of the policy-parity harness share identical resampling (the real
+        torchvision is not installed in this image)."""
+
+        def __init__(self, size, interpolation="bilinear", antialias=None,
+                     **kw):
+            self.size = (size, size) if isinstance(size, int) else tuple(size)
+            self.interpolation = getattr(interpolation, "value",
+                                         interpolation)
+
+        def __call__(self, x):
+            import torch
+            import numpy as np
+            from eva_vos_tpu.ops.resize import (resize_bicubic,
+                                                resize_bilinear,
+                                                resize_nearest)
+
+            arr = x.detach().cpu().numpy() if hasattr(x, "detach") \
+                else np.asarray(x)
+            fn = {"bicubic": resize_bicubic, "bilinear": resize_bilinear,
+                  "nearest": resize_nearest}[self.interpolation]
+            out = np.asarray(fn(arr.astype(np.float32), self.size,
+                                h_axis=-2, w_axis=-1))
+            return torch.from_numpy(out)
+
+    class _Normalize:
+        def __init__(self, mean, std, **kw):
+            self.mean = mean
+            self.std = std
+
+        def __call__(self, x):
+            import torch
+
+            mean = torch.as_tensor(self.mean, dtype=x.dtype)
+            std = torch.as_tensor(self.std, dtype=x.dtype)
+            return (x - mean[:, None, None]) / std[:, None, None]
+
+    transforms.Compose = _Compose
+    transforms.Resize = _Resize
+    transforms.Normalize = _Normalize
+    for cls in ["CenterCrop", "ToTensor"]:
         setattr(transforms, cls, lambda *a, _c=cls, **kw: (_c, a, kw))
+
+    ops = types.ModuleType("torchvision.ops")
+
+    def masks_to_boxes(masks):
+        """[N, H, W] bool -> [N, 4] (x0, y0, x1, y1) float, matching
+        torchvision.ops.masks_to_boxes."""
+        import torch
+
+        out = torch.zeros((masks.shape[0], 4), dtype=torch.float32)
+        for i, m in enumerate(masks):
+            ys, xs = torch.where(m != 0)
+            out[i] = torch.tensor([xs.min(), ys.min(), xs.max(), ys.max()],
+                                  dtype=torch.float32)
+        return out
+
+    ops.masks_to_boxes = masks_to_boxes
 
     tv.models = models
     tv.transforms = transforms
+    tv.ops = ops
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.ops"] = ops
     return tv
