@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: threshold-gated streaming memory readout.
+"""Pallas TPU kernel: index-scattered streaming memory readout.
 
 Second half of the space-time memory read (reference
 ``mivos/model/propagation/prop_net.py:80-115``: ``softmax_w_g_top`` top-k
@@ -6,29 +6,37 @@ weights followed by the value-bank matmul).  The tournament selection
 kernel (``memory_topk.py``) produces the exact top-k (values, indices);
 the XLA readout then either gathers rows of the value bank
 ([K, N, top_k, CV] materialization, gather-hostile on TPU) or densifies a
-[N, M] scatter matrix.  This kernel does neither: it streams the memory
-bank through VMEM a second time and, per block,
+[N, M] scatter matrix in HBM.  This kernel streams the VALUE bank through
+VMEM and, per (bank block, query tile):
 
-1. recomputes the block's affinity scores BIT-IDENTICALLY to the selection
-   kernel (same transposed [Bm, Qt] orientation, dtype and precision — the
-   gate below relies on float equality),
-2. gates them at the per-query k-th selected value tau — including the
-   lax.top_k tie rule (score == tau admitted only for token ids <= the
-   largest selected tie id), so the gated set is EXACTLY the selected set,
-3. accumulates ``gate * exp(s - vmax) @ V_block`` into the revisited fp32
-   output block — one MXU matmul per (bank block, query tile), no index
-   traffic at all.  The bank block is the OUTER grid dimension, so each
-   mk/mv block is DMA'd once total (bank traffic O(M), not
-   O(M * N/block_q)),
+1. skips outright when none of the tile's selected token ids fall in the
+   block (``top_k`` ids per query cluster in a handful of temporally-near
+   bank frames, so a warm bank skips almost every pair — readout compute
+   tracks the top-k SPREAD, not the bank size),
+2. builds the contribution matrix by SCATTERING the selection's own
+   softmax weights at its token ids — ``contrib[b, q] = w[t, q]`` where
+   ``sel_idx[t, q] == block_base + b`` — a k-pass broadcast-compare
+   accumulation with NO score recompute.  (An earlier design recomputed
+   block scores and gated them at the k-th selected value; that relied on
+   float equality BETWEEN two separately-compiled kernels, which Mosaic
+   does not guarantee — large clustered scores exposed recompute
+   divergence, r3_debug_clustered.  Scattering the selection's indices is
+   exact by construction and also removes the readout's mk/msq DMA and
+   MXU dot.)
+3. accumulates ``contrib @ V_block`` into a WHOLE-OUTPUT fp32 VMEM
+   scratch ([K, N, CV] — ~17 MB at the blocked-engine geometry, well
+   inside scoped VMEM).  The bank block is the OUTER grid dimension, so
+   each mv block is DMA'd once total (bank traffic O(M), not
+   O(M * N/block_q)).
 
-   NOTE (ADVICE r2): using the revisited output block as the fp32
-   accumulator relies on Mosaic's output-revisit semantics (the block is
-   re-fetched when the same output index recurs non-consecutively across
-   grid steps).  This is validated empirically by the TPU-gated tests
-   (``tests/test_tpu_kernels.py`` — run them for any jax/Mosaic bump);
-   if it ever breaks, swap the accumulator for a per-query-tile VMEM
-   scratch (grid order would then need query tiles OUTER).
-4. normalizes by the softmax denominator in-kernel on the last bank block.
+   The r2 kernel instead accumulated into the REVISITED output block and
+   relied on Mosaic re-fetching it when the same output index recurs
+   non-consecutively across grid steps; the r3 debugging session
+   (r3_debug_gate) caught that revisit pattern silently corrupting
+   partial sums at 13-query-tile geometry.  The scratch accumulator has
+   no cross-step output reads at all, which removes the failure mode.
+4. normalizes by the softmax denominator (from the selection values) on
+   the last bank block and only then writes the output tile.
 
 The memory-axis grid is sized by the bank's valid prefix (dynamic grid,
 ``memory_topk.live_blocks``): blocks past the fill pointer are never
@@ -52,61 +60,59 @@ from .memory_topk import (_compiler_params, live_blocks, tournament_topk_t,
 NEG_INF = -1e30
 
 
-def _gated_readout_kernel(qk_ref, mk_ref, msq_ref, mv_ref, vals_ref,
-                          idx_ref, valid_ref, out_ref, *,
-                          block_m: int, top_k: int, scale: float,
-                          n_obj: int):
-    """Grid is (bank_block OUTER, query_tile INNER): the mk/mv blocks'
-    index map depends only on the outer dim, so each bank block is DMA'd
-    ONCE and all query tiles sweep it — total bank traffic is O(M), not
-    O(M * N/block_q).  The fp32 accumulator is the revisited output block
-    itself (one per query tile); normalization happens on the last bank
-    block."""
+def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref, *,
+                            block_m: int, block_q: int, top_k: int,
+                            n_obj: int):
+    """Grid is (bank_block OUTER, query_tile INNER); see module docstring.
+    ``acc_ref`` is the whole-output fp32 scratch [n_obj, Np, CV]."""
     j = pl.program_id(0)                    # bank block (outer)
-    q = qk_ref[:]                           # [Qt, CK]
-    nq = q.shape[0]
+    i = pl.program_id(1)                    # query tile (inner)
 
     vals = vals_ref[:]                      # [k, Qt] selection values (desc)
     sel_idx = idx_ref[:]                    # [k, Qt] selected token ids
     vmax = vals[0:1, :]                     # [1, Qt]
-    tau = vals[top_k - 1:top_k, :]          # [1, Qt] k-th selected value
-    # largest selected token id among entries tied at tau — the lax.top_k
-    # rule keeps the LOWEST ids on ties, so the selected set is exactly
-    # {s > tau} u {s == tau and id <= tie_max}
-    tie_max = jnp.max(
-        jnp.where(vals == tau, sel_idx, jnp.int32(-1)),
-        axis=0, keepdims=True)              # [1, Qt]
+    w = jnp.exp(vals - vmax)                # [k, Qt] fp32 softmax numerators
+    nq = vals.shape[1]
+    col = pl.ds(i * block_q, block_q)
 
-    # recompute this block's scores bit-identically to the selection
-    # kernel (same orientation/dtype/precision) so equality against tau
-    # is meaningful
-    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    dot = jax.lax.dot_general(
-        mk_ref[:], q, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-    s = (2.0 * dot - msq_ref[:][:, None]) / scale      # [Bm, Qt] fp32
-    tok = j * block_m + jax.lax.broadcasted_iota(
-        jnp.int32, (block_m, nq), 0)
-    s = jnp.where(tok < valid_ref[0], s, NEG_INF)
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:, col, :] = jnp.zeros((n_obj, nq, mv_ref.shape[-1]),
+                                       jnp.float32)
 
-    gate = (s > tau) | ((s == tau) & (tok <= tie_max))
-    contrib = jnp.where(gate, jnp.exp(s - vmax), 0.0)  # [Bm, Qt] fp32
+    # block skip from the SELECTED ids: only blocks containing at least one
+    # selected token for some query in this tile contribute
+    lo = j * block_m
+    in_block = (sel_idx >= lo) & (sel_idx < lo + block_m)
+    import os
+    no_skip = bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))  # ablation
 
-    prev = jnp.where(j == 0, jnp.zeros_like(out_ref[:]), out_ref[:])
-    acc = []
-    for o in range(n_obj):                  # static K loop, contrib shared
-        v_blk = mv_ref[o].astype(jnp.float32)          # [Bm, CV]
-        acc.append(prev[o] + jax.lax.dot_general(
-            contrib, v_blk, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST))      # [Qt, CV]
-    acc = jnp.stack(acc)
+    @pl.when(no_skip | jnp.any(in_block))
+    def _():
+        # scatter the selection's weights at its token ids: k broadcast
+        # compares against the block's token column — exact by
+        # construction, no score recompute
+        tok = lo + jax.lax.broadcasted_iota(jnp.int32, (block_m, nq), 0)
+        contrib = jnp.zeros((block_m, nq), jnp.float32)
+        for t in range(top_k):              # static unroll
+            hit = sel_idx[t:t + 1, :] == tok          # [Bm, Qt]
+            contrib = contrib + jnp.where(hit, w[t:t + 1, :], 0.0)
+
+        for o in range(n_obj):              # static K loop, contrib shared
+            v_blk = mv_ref[o].astype(jnp.float32)     # [Bm, CV]
+            acc_ref[o, col, :] += jax.lax.dot_general(
+                contrib, v_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # [Qt, CV]
 
     # normalize on the last bank block: z from the selection values —
-    # identical math to the XLA oracle's w = exp(v - v0) / sum
-    z = jnp.sum(jnp.exp(vals - vmax), axis=0)          # [Qt]
+    # identical math to the XLA oracle's w = exp(v - v0) / sum.  The
+    # output block is only meaningful at j == last; earlier steps write
+    # the (unnormalized) running scratch, each overwritten by the next
+    # revisit — no cross-step READS of the output remain.
+    z = jnp.sum(w, axis=0)                             # [Qt]
     last = j == pl.num_programs(0) - 1
+    acc = acc_ref[:, col, :]
     out_ref[:] = jnp.where(last, acc / z[None, :, None], acc)
 
 
@@ -118,16 +124,18 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
                          readout_block_m: int | None = None,
                          interpret: bool = False):
     """Exact top-k attention readout, fully in two streaming kernels
-    (tournament selection + threshold-gated value sweep).
+    (tournament selection + index-scattered value sweep).
 
     mk [M, CK], qk [N, CK], mv [K_obj, M, CV]
-    -> [K_obj, N, CV] in mv.dtype (bitwise-equal selected set and softmax
-    weights as ``ops.memory_attention.memory_readout``).
+    -> [K_obj, N, CV] in mv.dtype — the exact softmax readout of the
+    tournament selection's candidate set (equal to
+    ``ops.memory_attention.memory_readout`` up to score ties, which may
+    resolve to different-but-equal-valued candidates across the two
+    implementations' dot orderings).
 
-    ``readout_block_m`` (default min(block_m, 2048)) bounds the gated
-    sweep's value window: the [Bm, CV] mv blocks are double-buffered in
-    VMEM alongside the [K, N_tile, CV] accumulator, so large selection
-    blocks would blow the 16 MB scoped-VMEM budget at production sizes.
+    ``readout_block_m`` (default min(block_m, 2048)) bounds the value
+    sweep's window: the [Bm, CV] mv blocks are double-buffered in VMEM
+    alongside the [K, N_tile, CV] accumulator.
     """
     n, ck = qk.shape
     m = mk.shape[0]
@@ -164,35 +172,39 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
         validate_block_geometry(block_q=block_q, block_m=rb, ck=ck,
                                 top_k=top_k, cv=cv, n_obj=n_obj,
                                 kernel="readout")
+        from .memory_topk import _vmem_limit_bytes
 
-    # bank block is the OUTER grid dim (query tiles inner): each mv/mk
-    # block is fetched once total; the fp32 output blocks are revisited
-    # per bank block and act as the accumulator
+        scratch_bytes = 4 * n_obj * np_ * cv
+        limit = _vmem_limit_bytes()
+        if scratch_bytes > limit * 3 // 4:
+            raise ValueError(
+                f"fused readout accumulator [K={n_obj}, N={np_}, CV={cv}] "
+                f"fp32 needs {scratch_bytes / 2**20:.0f} MiB VMEM scratch "
+                f"(> {limit * 3 // 4 / 2**20:.0f} MiB available) — use "
+                f"readout strategy 'scatter' for this many objects/queries")
+
+    # bank block is the OUTER grid dim (query tiles inner): each mv block
+    # is fetched once total; accumulation happens in a whole-output fp32
+    # VMEM scratch (no output-revisit reads)
     out = pl.pallas_call(
-        functools.partial(_gated_readout_kernel, block_m=rb,
-                          top_k=top_k, scale=scale, n_obj=n_obj),
+        functools.partial(_scatter_readout_kernel, block_m=rb,
+                          block_q=block_q, top_k=top_k, n_obj=n_obj),
         grid=(live_blocks(valid, rb, n_blocks, interpret), np_ // block_q),
         in_specs=[
-            pl.BlockSpec((block_q, ck), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, ck), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb,), lambda j, i: (j,),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_obj, rb, cv), lambda j, i: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((top_k, block_q), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((top_k, block_q), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((n_obj, block_q, cv), lambda j, i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_obj, np_, cv), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_obj, np_, cv), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(qk_p, mk_p, msq, mv_p, vals_t, idx_t, valid)
+    )(mv_p, vals_t, idx_t)
 
     return out[:, :n].astype(mv.dtype)
 

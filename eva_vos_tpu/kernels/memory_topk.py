@@ -417,41 +417,61 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
             jnp.int32, (block_m, 1), 0)
         scores = jnp.where(tok_col < valid_ref[0], scores, NEG_INF)
 
-        g = block_m // group
-        s3 = scores.reshape(g, group, nq)
-        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1)
-        base = j * block_m + group * jax.lax.broadcasted_iota(
-            jnp.int32, (g, nq), 0)
+        # running-tau block skip (STATUS r2 roadmap #1): a block whose every
+        # score is <= the running k-th value cannot change the selection —
+        # a new token tying tau loses to the incumbent's lower id (blocks
+        # ascend, the lax.top_k rule), so strict > is the exact condition.
+        # Warm interactive banks skip most blocks at two VPU passes each
+        # (compare + any) instead of the full tournament + extraction.
+        tau_run = run_vals[top_k - 1:top_k, :]                # [1, Qt]
+        import os
+        no_skip = bool(os.environ.get("EVAVOS_SEL_NOTAU"))  # ablation
 
-        cand_v, cand_i = [], []
-        for _ in range(rounds):
-            m = jnp.max(s3, axis=1)                           # [G, Qt]
-            am = jnp.argmax(s3, axis=1).astype(jnp.int32)     # [G, Qt]
-            cand_v.append(m)
-            cand_i.append(base + am)
-            s3 = jnp.where(sub_ids == am[:, None, :], NEG_INF, s3)
-        cand_v = jnp.concatenate(cand_v, axis=0)              # [G*R, Qt]
-        cand_i = jnp.concatenate(cand_i, axis=0)
+        @pl.when(no_skip | jnp.any(scores > tau_run))
+        def _():
+            g = block_m // group
+            s3 = scores.reshape(g, group, nq)
+            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1)
+            base = j * block_m + group * jax.lax.broadcasted_iota(
+                jnp.int32, (g, nq), 0)
 
-        tv, ti = _extract_topk_rows(cand_v, cand_i, top_k)
-        tau = tv[top_k - 1:top_k, :]                          # [1, Qt]
-        n_ge = jnp.sum((scores >= tau).astype(jnp.float32), axis=0)
-        c_ge = jnp.sum((cand_v >= tau).astype(jnp.float32), axis=0)
-        exact = jnp.all(n_ge == c_ge)
+            cand_v, cand_i = [], []
+            for _ in range(rounds):
+                m = jnp.max(s3, axis=1)                       # [G, Qt]
+                am = jnp.argmax(s3, axis=1).astype(jnp.int32)  # [G, Qt]
+                cand_v.append(m)
+                cand_i.append(base + am)
+                s3 = jnp.where(sub_ids == am[:, None, :], NEG_INF, s3)
+            cand_v = jnp.concatenate(cand_v, axis=0)          # [G*R, Qt]
+            cand_i = jnp.concatenate(cand_i, axis=0)
 
-        def escalate(_):
-            tok = j * block_m + jax.lax.broadcasted_iota(
-                jnp.int32, (block_m, nq), 0)
-            return _extract_topk_rows(scores, tok, top_k)
+            # ONE extraction over block candidates + incumbents yields the
+            # merged top-k directly (the old per-block extract-then-merge
+            # ran two k-pass extractions); the min-id tie rule makes the
+            # buffer order irrelevant.
+            cat_v = jnp.concatenate([cand_v, run_vals[:]], axis=0)
+            cat_i = jnp.concatenate([cand_i, run_idx[:]], axis=0)
+            mvals, midx = _extract_topk_rows(cat_v, cat_i, top_k)
 
-        blk_vals, blk_idx = jax.lax.cond(
-            exact, lambda _: (tv, ti), escalate, None)
+            # verification against the MERGED tau: if every block element
+            # >= tau_m is among the block's candidates, the merged set
+            # provably contains every global winner from this block.
+            tau_m = mvals[top_k - 1:top_k, :]                 # [1, Qt]
+            n_ge = jnp.sum((scores >= tau_m).astype(jnp.float32), axis=0)
+            c_ge = jnp.sum((cand_v >= tau_m).astype(jnp.float32), axis=0)
+            exact = jnp.all(n_ge == c_ge)
 
-        cat_v = jnp.concatenate([run_vals[:], blk_vals], axis=0)
-        cat_i = jnp.concatenate([run_idx[:], blk_idx], axis=0)
-        mvals, midx = _extract_topk_rows(cat_v, cat_i, top_k)
-        run_vals[:] = mvals
-        run_idx[:] = midx
+            def escalate(_):
+                tok = j * block_m + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_m, nq), 0)
+                full_v = jnp.concatenate([scores, run_vals[:]], axis=0)
+                full_i = jnp.concatenate([tok, run_idx[:]], axis=0)
+                return _extract_topk_rows(full_v, full_i, top_k)
+
+            mvals, midx = jax.lax.cond(
+                exact, lambda _: (mvals, midx), escalate, None)
+            run_vals[:] = mvals
+            run_idx[:] = midx
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -493,8 +513,15 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
                                 top_k=top_k, kernel="selection")
     group = 128 if block_m % 128 == 0 else block_m
     g = block_m // group
-    rounds = max(4, -(-top_k // g))  # ceil; verify/escalate keeps
-    #                                   exactness when G*R < k anyway
+    # R=8: escalation is all-or-nothing per 128-query tile, so its
+    # frequency is set by the WORST query's densest group; 8 rounds make
+    # group overflow (a group hiding > R of a query's global top-k) rare
+    # even on dense/clustered score distributions, at ~2x the (cheap)
+    # tournament pass cost.  verify/escalate keeps exactness regardless.
+    rounds = max(8, -(-top_k // g))
+    import os
+    if os.environ.get("EVAVOS_TOUR_ROUNDS"):
+        rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
     return pl.pallas_call(
         functools.partial(_kernel_tournament, block_m=block_m,
                           top_k=top_k, scale=scale,

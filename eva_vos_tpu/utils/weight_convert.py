@@ -191,9 +191,81 @@ class Converter:
         return out
 
 
+class InverseConverter(Converter):
+    """flax variables -> torch state dict, through the SAME mapping walks.
+
+    Every layout rule in :class:`Converter` is applied in reverse; calling
+    e.g. ``_walk_stcn(InverseConverter(variables))`` produces a state dict
+    the reference's torch modules load directly.  Used by the bench's
+    production-geometry quality check: fit the flax net, export to torch,
+    run both stacks on identical (non-degenerate) weights.
+    """
+
+    def __init__(self, variables):
+        super().__init__(torch_sd={}, template=variables)
+        self.synth = False
+
+    def _leaf(self, collection, path):
+        node = self.template[collection]
+        for p in path:
+            node = node[p]
+        return np.asarray(node, np.float32)
+
+    def conv(self, flax_path, torch_prefix, bias=True):
+        k = self._leaf("params", (*flax_path, "kernel"))
+        self.sd[f"{torch_prefix}.weight"] = k.transpose(3, 2, 0, 1).copy()
+        if bias:
+            self.sd[f"{torch_prefix}.bias"] = self._leaf(
+                "params", (*flax_path, "bias"))
+
+    def conv_transpose(self, flax_path, torch_prefix, bias=True):
+        k = self._leaf("params", (*flax_path, "kernel"))
+        self.sd[f"{torch_prefix}.weight"] = (
+            k[::-1, ::-1].transpose(2, 3, 0, 1).copy())
+        if bias:
+            self.sd[f"{torch_prefix}.bias"] = self._leaf(
+                "params", (*flax_path, "bias"))
+
+    def linear(self, flax_path, torch_prefix, bias=True):
+        k = self._leaf("params", (*flax_path, "kernel"))
+        self.sd[f"{torch_prefix}.weight"] = k.T.copy()
+        if bias:
+            self.sd[f"{torch_prefix}.bias"] = self._leaf(
+                "params", (*flax_path, "bias"))
+
+    def raw(self, flax_path, torch_key, transform=None):
+        if transform is not None:
+            raise NotImplementedError(
+                f"inverse of transformed raw assign for {torch_key}")
+        self.sd[torch_key] = self._leaf("params", flax_path)
+
+    def batchnorm(self, flax_path, torch_prefix):
+        self.sd[f"{torch_prefix}.weight"] = self._leaf(
+            "params", (*flax_path, "scale"))
+        self.sd[f"{torch_prefix}.bias"] = self._leaf(
+            "params", (*flax_path, "bias"))
+        self.sd[f"{torch_prefix}.running_mean"] = self._leaf(
+            "batch_stats", (*flax_path, "mean"))
+        self.sd[f"{torch_prefix}.running_var"] = self._leaf(
+            "batch_stats", (*flax_path, "var"))
+        self.sd[f"{torch_prefix}.num_batches_tracked"] = np.asarray(
+            0, np.int64)
+
+    def layernorm(self, flax_path, torch_prefix):
+        self.sd[f"{torch_prefix}.weight"] = self._leaf(
+            "params", (*flax_path, "scale"))
+        self.sd[f"{torch_prefix}.bias"] = self._leaf(
+            "params", (*flax_path, "bias"))
+
+    def state_dict(self):
+        return dict(self.sd)
+
+
 def _exists(cv: Converter, flax_path, torch_key) -> bool:
-    """Does this optional submodule exist? (template-driven in synth mode)"""
-    if cv.synth:
+    """Does this optional submodule exist?  Template-driven whenever a flax
+    template is available (synthesis and inverse modes); otherwise by torch
+    key presence."""
+    if cv.template is not None:
         node = cv.template["params"]
         try:
             for part in flax_path:
@@ -265,14 +337,12 @@ def _convert_fuser(cv, flax_prefix, torch_prefix):
                       has_downsample=False)
 
 
-def convert_stcn(torch_sd, template=None) -> dict:
-    """stcn.pth -> PropagationNetwork variables."""
-    cv = Converter(torch_sd, template=template)
+def _walk_stcn(cv: Converter, key_arch="resnet50", value_arch="resnet18"):
     convert_resnet_trunk(cv, ("key_encoder", "trunk"), "key_encoder",
-                         "resnet50", 3, conv_bias=False,
+                         key_arch, 3, conv_bias=False,
                          stage_names=["res2", "layer2", "layer3"])
     convert_resnet_trunk(cv, ("value_encoder", "trunk"), "value_encoder",
-                         "resnet18", 3, conv_bias=True)
+                         value_arch, 3, conv_bias=True)
     _convert_fuser(cv, ("value_encoder", "fuser"), "value_encoder.fuser")
     cv.conv(("key_proj", "key_proj"), "key_proj.key_proj")
     cv.conv(("key_comp",), "key_comp")
@@ -284,19 +354,43 @@ def convert_stcn(torch_sd, template=None) -> dict:
         _convert_resblock(cv, ("decoder", up, "out_conv"),
                           f"decoder.{up}.out_conv")
     cv.conv(("decoder", "pred"), "decoder.pred")
-    return cv.variables()
 
 
-def convert_fusion(torch_sd, template=None) -> dict:
-    """fusion.pth -> FusionNet variables."""
-    cv = Converter(torch_sd, template=template)
+def _walk_fusion(cv: Converter):
     cv.conv(("conv1",), "conv1.0")
     cv.conv(("conv2_0",), "conv2.0")
     cv.conv(("conv2_1",), "conv2.2")
     cv.conv(("conv3_0",), "conv3.0")
     cv.conv(("conv3_1",), "conv3.2")
     cv.conv(("final_conv",), "final_conv")
+
+
+def convert_stcn(torch_sd, template=None) -> dict:
+    """stcn.pth -> PropagationNetwork variables."""
+    cv = Converter(torch_sd, template=template)
+    _walk_stcn(cv)
     return cv.variables()
+
+
+def invert_stcn(variables, key_arch="resnet50", value_arch="resnet18") -> dict:
+    """PropagationNetwork variables -> reference-layout torch state dict."""
+    cv = InverseConverter(variables)
+    _walk_stcn(cv, key_arch=key_arch, value_arch=value_arch)
+    return cv.state_dict()
+
+
+def convert_fusion(torch_sd, template=None) -> dict:
+    """fusion.pth -> FusionNet variables."""
+    cv = Converter(torch_sd, template=template)
+    _walk_fusion(cv)
+    return cv.variables()
+
+
+def invert_fusion(variables) -> dict:
+    """FusionNet variables -> reference-layout torch state dict."""
+    cv = InverseConverter(variables)
+    _walk_fusion(cv)
+    return cv.state_dict()
 
 
 def convert_cnn_branch(cv: Converter, flax_prefix, torch_prefix, arch):

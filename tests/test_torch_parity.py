@@ -183,3 +183,53 @@ class TestFusionNetParity:
                                 jnp.asarray(seg1), jnp.asarray(seg2),
                                 jnp.asarray(attn), jnp.asarray(tvec))
         np.testing.assert_allclose(from_flax(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestDeepQualityPath:
+    """bench.deep_quality end-to-end at tiny geometry: brief fit, inverse
+    export to the reference torch nets, matched episode, J&F deltas
+    (VERDICT r2 #2's machinery, CPU-sized)."""
+
+    def test_fit_invert_episode(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import bench
+        import jax
+        import jax.numpy as jnp
+        from eva_vos_tpu.models import PropagationNetwork, FusionNet
+        from eva_vos_tpu.engine import InferenceEngine
+        from eva_vos_tpu.engine.propagation import (EngineConfig,
+                                                    prepare_video)
+        from eva_vos_tpu.data import synthetic_video
+
+        t, h, w = 6, 48, 64
+        top_k = 8
+        fitted = bench.fit_stcn_briefly(steps=8, t=4, h=48, w=48)
+        f_fuse = FusionNet(dtype=jnp.float32)
+        fuse_vars = f_fuse.init(
+            jax.random.PRNGKey(1), jnp.zeros((h, w, 3)), jnp.zeros((h, w)),
+            jnp.zeros((h, w)), jnp.zeros((h, w, 2)), jnp.zeros((2,)))
+        fuse_np = jax.tree.map(np.asarray, fuse_vars)
+
+        stcn = PropagationNetwork(top_k=top_k, dtype=jnp.float32)
+        sp = jax.tree.map(jnp.asarray, fitted)
+        engine = InferenceEngine(
+            stcn, FusionNet(dtype=jnp.float32), sp,
+            jax.tree.map(jnp.asarray, fuse_np),
+            EngineConfig(mem_freq=5, top_k=top_k, max_interactions=4,
+                         feature_chunk=2))
+        images, gt = synthetic_video(t, h, w, num_objects=1, seed=0)
+        padded, pad = prepare_video(images, dtype=jnp.float32)
+        feats = engine.precompute_features(padded)
+
+        out = bench.deep_quality(engine, feats, images, gt, pad, fitted,
+                                 fuse_np, interactions=(0, None, 2),
+                                 top_k=top_k)
+        assert out, "deep_quality returned empty (torch/reference missing?)"
+        assert "j_and_f_delta" in out
+        # matched weights through both stacks: tiny episode must agree
+        assert abs(out["j_and_f_delta"]) < 0.05, out
+        assert out["mask_agreement_prod"] > 0.95, out
