@@ -54,7 +54,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .memory_topk import (_compiler_params, live_blocks, tournament_topk_t,
+from .memory_topk import (_compiler_params, live_blocks, resident_fits,
+                          resident_topk_t, tournament_topk_t,
                           validate_block_geometry)
 
 NEG_INF = -1e30
@@ -161,8 +162,18 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
 
     np_, mp_ = n + pad_n, m + pad_m
 
-    # pass 1: exact streaming selection, transposed outputs [k, Np]
-    vals_t, idx_t = tournament_topk_t(
+    # pass 1: exact streaming selection, transposed outputs [k, Np].
+    # Tournament is the production default: the resident-bank variant
+    # (whole bank in VMEM, one extraction per tile) measured ~2x SLOWER on
+    # v5e (r3_kernel_bench_v2: its single extraction scans the full
+    # static candidate buffer, which costs more than the tournament's
+    # small per-live-block merges) — it remains available via
+    # EVAVOS_SEL_METHOD=resident as a documented ablation.
+    import os
+
+    sel = os.environ.get("EVAVOS_SEL_METHOD", "tournament")
+    select = resident_topk_t if sel == "resident" else tournament_topk_t
+    vals_t, idx_t = select(
         qk_p, mk_p, msq, valid, top_k=top_k, block_q=block_q,
         block_m=block_m, scale=scale, interpret=interpret)
 

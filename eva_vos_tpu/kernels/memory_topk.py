@@ -430,46 +430,69 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         @pl.when(no_skip | jnp.any(scores > tau_run))
         def _():
             g = block_m // group
-            s3 = scores.reshape(g, group, nq)
             sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1)
             base = j * block_m + group * jax.lax.broadcasted_iota(
                 jnp.int32, (g, nq), 0)
 
-            cand_v, cand_i = [], []
-            for _ in range(rounds):
-                m = jnp.max(s3, axis=1)                       # [G, Qt]
-                am = jnp.argmax(s3, axis=1).astype(jnp.int32)  # [G, Qt]
-                cand_v.append(m)
-                cand_i.append(base + am)
-                s3 = jnp.where(sub_ids == am[:, None, :], NEG_INF, s3)
-            cand_v = jnp.concatenate(cand_v, axis=0)          # [G*R, Qt]
-            cand_i = jnp.concatenate(cand_i, axis=0)
+            def tourney(s3, n):
+                """n max/argmax/mask passes over the group axis; returns the
+                masked residual and the [n*G, Qt] extracted candidates."""
+                vs, ids = [], []
+                for _ in range(n):
+                    m = jnp.max(s3, axis=1)                        # [G, Qt]
+                    am = jnp.argmax(s3, axis=1).astype(jnp.int32)  # [G, Qt]
+                    vs.append(m)
+                    ids.append(base + am)
+                    s3 = jnp.where(sub_ids == am[:, None, :], NEG_INF, s3)
+                return (s3, jnp.concatenate(vs, axis=0),
+                        jnp.concatenate(ids, axis=0))
+
+            s3a, cv1, ci1 = tourney(scores.reshape(g, group, nq), rounds)
 
             # ONE extraction over block candidates + incumbents yields the
             # merged top-k directly (the old per-block extract-then-merge
             # ran two k-pass extractions); the min-id tie rule makes the
             # buffer order irrelevant.
-            cat_v = jnp.concatenate([cand_v, run_vals[:]], axis=0)
-            cat_i = jnp.concatenate([cand_i, run_idx[:]], axis=0)
-            mvals, midx = _extract_topk_rows(cat_v, cat_i, top_k)
+            cat_v = jnp.concatenate([cv1, run_vals[:]], axis=0)
+            cat_i = jnp.concatenate([ci1, run_idx[:]], axis=0)
+            mv1, mi1 = _extract_topk_rows(cat_v, cat_i, top_k)
 
-            # verification against the MERGED tau: if every block element
-            # >= tau_m is among the block's candidates, the merged set
-            # provably contains every global winner from this block.
-            tau_m = mvals[top_k - 1:top_k, :]                 # [1, Qt]
-            n_ge = jnp.sum((scores >= tau_m).astype(jnp.float32), axis=0)
-            c_ge = jnp.sum((cand_v >= tau_m).astype(jnp.float32), axis=0)
-            exact = jnp.all(n_ge == c_ge)
+            def verified(mv, block_cv):
+                # if every block element >= the merged tau is among the
+                # block's candidates, the merged set provably contains
+                # every global winner from this block
+                tau_m = mv[top_k - 1:top_k, :]                 # [1, Qt]
+                n_ge = jnp.sum((scores >= tau_m).astype(jnp.float32),
+                               axis=0)
+                c_ge = jnp.sum((block_cv >= tau_m).astype(jnp.float32),
+                               axis=0)
+                return jnp.all(n_ge == c_ge)
 
-            def escalate(_):
-                tok = j * block_m + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_m, nq), 0)
-                full_v = jnp.concatenate([scores, run_vals[:]], axis=0)
-                full_i = jnp.concatenate([tok, run_idx[:]], axis=0)
-                return _extract_topk_rows(full_v, full_i, top_k)
+            def level2(_):
+                # some group hid > ``rounds`` of this tile's winners:
+                # deepen the tournament by ``rounds`` more passes (top-2R
+                # per group) and re-verify — ~10x cheaper than the full
+                # [Bm + k, Qt] extraction the r2 kernel escalated straight
+                # to (r3_kernel_bench_v2: that extraction made clustered
+                # fills ~2x slower than random ones)
+                _, cv2, ci2 = tourney(s3a, rounds)
+                cat2_v = jnp.concatenate([cv1, cv2, run_vals[:]], axis=0)
+                cat2_i = jnp.concatenate([ci1, ci2, run_idx[:]], axis=0)
+                mv2, mi2 = _extract_topk_rows(cat2_v, cat2_i, top_k)
+
+                def full(_):
+                    tok = j * block_m + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_m, nq), 0)
+                    full_v = jnp.concatenate([scores, run_vals[:]], axis=0)
+                    full_i = jnp.concatenate([tok, run_idx[:]], axis=0)
+                    return _extract_topk_rows(full_v, full_i, top_k)
+
+                return jax.lax.cond(
+                    verified(mv2, jnp.concatenate([cv1, cv2], axis=0)),
+                    lambda _: (mv2, mi2), full, None)
 
             mvals, midx = jax.lax.cond(
-                exact, lambda _: (mvals, midx), escalate, None)
+                verified(mv1, cv1), lambda _: (mv1, mi1), level2, None)
             run_vals[:] = mvals
             run_idx[:] = midx
 
@@ -477,6 +500,187 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
     def _():
         vals_ref[:] = run_vals[:]
         idx_ref[:] = run_idx[:]
+
+
+def _kernel_resident(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
+                     cand_v, cand_i, *, block_m: int, top_k: int,
+                     scale: float, rounds: int, group: int):
+    """Resident-bank variant: the WHOLE key bank lives in VMEM (16 MB bf16
+    at the production 78-slot/480p geometry — a fraction of a v4+/v5 core's
+    128 MB), the grid is query tiles ONLY, and the memory-block loop runs
+    in-kernel.  This removes the tournament kernel's two big warm-bank
+    costs measured in r3_kernel_bench: the per-(block, tile) grid-step
+    overhead (~12 us x 29 blocks x 13 tiles at fill 72) and the per-live-
+    block k-pass merge (the running top-k is gone entirely):
+
+    1. per live block (predicated ``cond`` — dead blocks cost nothing, no
+       DMA either since the bank is resident): ``rounds`` tournament
+       passes pull the top-R of every ``group``-token segment straight
+       into a candidate scratch slice — no merging, no extraction,
+    2. ONE exact extraction per query tile over all accumulated candidates
+       (ties -> lowest token id, the lax.top_k rule — candidates carry
+       global ids so buffer order is irrelevant),
+    3. VERIFY sweep: recompute each live block's scores (same dot, same
+       kernel, deterministic) and check #{s >= tau} == #{cand >= tau}
+       per block at the extracted k-th value tau.  A mismatched block
+       (some group hid > ``rounds`` of its >=tau elements) ESCALATES:
+       its candidate slice is replaced by the block's exact top-k and the
+       final extraction re-runs once over the repaired buffer.
+
+    Exactness: a missed global winner w always satisfies
+    ``score(w) >= tau`` (its absence forces a weaker element into the
+    candidate top-k, so tau <= score(w)) — the count check therefore
+    cannot pass while any winner is missing, and an escalated block
+    contributes its full exact top-k, which contains every global winner
+    it holds.
+    """
+    q = qk_ref[:]                                         # [Qt, CK]
+    nq = q.shape[0]
+    m_total = mk_ref.shape[0]
+    n_blocks = m_total // block_m
+    g = block_m // group
+    gr = g * rounds                                       # cand rows/block
+    pad_k = -(-top_k // 8) * 8          # sublane-aligned escalation writes
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    # scratch persists across grid steps — clear stale candidates
+    cand_v[:] = jnp.full(cand_v.shape, NEG_INF, jnp.float32)
+    cand_i[:] = jnp.zeros(cand_i.shape, jnp.int32)
+
+    def scores_for(b):
+        mk_blk = mk_ref[pl.ds(b * block_m, block_m), :]
+        msq_blk = msq_ref[pl.ds(b * block_m, block_m)]
+        dot = jax.lax.dot_general(
+            mk_blk, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        s = (2.0 * dot - msq_blk[:, None]) / scale        # [Bm, Qt]
+        tok = b * block_m + jax.lax.broadcasted_iota(
+            jnp.int32, (block_m, 1), 0)
+        return jnp.where(tok < valid_ref[0], s, NEG_INF)
+
+    def body(b, carry):
+        def live(_):
+            s3 = scores_for(b).reshape(g, group, nq)
+            sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1)
+            base = b * block_m + group * jax.lax.broadcasted_iota(
+                jnp.int32, (g, nq), 0)
+            vs, ids = [], []
+            for _ in range(rounds):
+                m = jnp.max(s3, axis=1)                        # [G, Qt]
+                am = jnp.argmax(s3, axis=1).astype(jnp.int32)  # [G, Qt]
+                vs.append(m)
+                ids.append(base + am)
+                s3 = jnp.where(sub_ids == am[:, None, :], NEG_INF, s3)
+            cand_v[pl.ds(b * gr, gr), :] = jnp.concatenate(vs, axis=0)
+            cand_i[pl.ds(b * gr, gr), :] = jnp.concatenate(ids, axis=0)
+            return 0
+
+        return jax.lax.cond(b * block_m < valid_ref[0], live,
+                            lambda _: 0, None)
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+    mvals, midx = _extract_topk_rows(cand_v[:], cand_i[:], top_k)
+
+    # verify + per-block escalation
+    tau = mvals[top_k - 1:top_k, :]                       # [1, Qt]
+
+    def vbody(b, bad):
+        def check(_):
+            s = scores_for(b)
+            n_ge = jnp.sum((s >= tau).astype(jnp.float32), axis=0)
+            c_ge = jnp.sum((cand_v[pl.ds(b * gr, gr), :] >= tau)
+                           .astype(jnp.float32), axis=0)
+            mismatch = jnp.any(n_ge != c_ge)
+
+            def esc(_):
+                tok = b * block_m + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_m, nq), 0)
+                ev, ei = _extract_topk_rows(s, tok, pad_k)
+                cand_v[pl.ds(b * gr, pad_k), :] = ev
+                cand_i[pl.ds(b * gr, pad_k), :] = ei
+                if gr > pad_k:
+                    cand_v[pl.ds(b * gr + pad_k, gr - pad_k), :] = jnp.full(
+                        (gr - pad_k, nq), NEG_INF, jnp.float32)
+                return 1
+
+            return jax.lax.cond(mismatch, esc, lambda _: 0, None)
+
+        return bad + jax.lax.cond(b * block_m < valid_ref[0], check,
+                                  lambda _: 0, None)
+
+    bad = jax.lax.fori_loop(0, n_blocks, vbody, 0)
+    mvals, midx = jax.lax.cond(
+        bad > 0,
+        lambda _: _extract_topk_rows(cand_v[:], cand_i[:], top_k),
+        lambda _: (mvals, midx), None)
+
+    vals_ref[:] = mvals
+    idx_ref[:] = midx
+
+
+def resident_fits(m_padded: int, ck: int, itemsize: int, block_m: int,
+                  block_q: int, top_k: int, rounds: int = 8,
+                  group: int = 128) -> bool:
+    """Whether the resident-bank selection kernel's VMEM residents (whole
+    key bank + candidate scratch + working tiles) fit the scoped budget."""
+    limit = _vmem_limit_bytes()
+    g = block_m // group
+    cand_rows = (m_padded // block_m) * g * rounds
+    need = (m_padded * ck * itemsize          # resident bank
+            + m_padded * 4                    # msq fp32
+            + 2 * cand_rows * block_q * 4     # candidate vals + ids
+            + 6 * block_m * block_q * 4)      # score tile + intermediates
+    return need <= limit * 3 // 4
+
+
+def resident_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
+                    block_m: int, scale: float, interpret: bool = False):
+    """Resident-bank selection on PRE-PADDED inputs; same contract as
+    ``tournament_topk_t`` (TRANSPOSED outputs [top_k, Np])."""
+    np_, ck = qk_p.shape
+    mp_ = mk_p.shape[0]
+    n_blocks = mp_ // block_m
+    group = 128 if block_m % 128 == 0 else block_m
+    g = block_m // group
+    # g*rounds >= pad_k so an escalated block's exact top-pad_k fits its
+    # candidate slice (pad_k = top_k rounded up to the 8-sublane tile)
+    pad_k = -(-top_k // 8) * 8
+    rounds = max(8, -(-top_k // g), -(-pad_k // g))
+    import os
+
+    if os.environ.get("EVAVOS_TOUR_ROUNDS"):
+        rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
+    cand_rows = n_blocks * g * rounds
+    return pl.pallas_call(
+        functools.partial(_kernel_resident, block_m=block_m, top_k=top_k,
+                          scale=scale, rounds=rounds, group=group),
+        grid=(np_ // block_q,),
+        in_specs=[
+            pl.BlockSpec((block_q, ck), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp_, ck), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp_,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((top_k, block_q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((top_k, block_q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((top_k, np_), jnp.float32),
+            jax.ShapeDtypeStruct((top_k, np_), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cand_rows, block_q), jnp.float32),
+            pltpu.VMEM((cand_rows, block_q), jnp.int32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(qk_p, mk_p, msq, valid)
 
 
 def live_blocks(valid, block_m: int, n_blocks: int, interpret: bool):
@@ -571,10 +775,14 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
     N must divide into block_q tiles after padding; M pads to block_m.
 
     method:
-      'iterative' — sort-free k-max extraction (the fast path; XLA's
-                    top_k sort costs 85% of a propagation step on v5e)
-      'grid'      — memory blocks as a pipelined grid dimension (production)
-      'sort'      — lax.top_k inside the kernel (needs Mosaic sort support)
+      'iterative'  — sort-free k-max extraction (the fast path; XLA's
+                     top_k sort costs 85% of a propagation step on v5e)
+      'grid'       — memory blocks as a pipelined grid dimension
+      'tournament' — transposed group-tournament + verify/escalate
+      'resident'   — whole bank in VMEM, one extraction per query tile
+                     (production when it fits — see ``resident_fits``)
+      'sort'       — lax.top_k inside the kernel (needs Mosaic sort
+                     support)
     """
     n, ck = qk.shape
     m = mk.shape[0]
@@ -590,8 +798,10 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
 
     np_, mp_ = n + pad_n, m + pad_m
 
-    if method == "tournament":
-        vals_t, idx_t = tournament_topk_t(
+    if method in ("tournament", "resident"):
+        select = (resident_topk_t if method == "resident"
+                  else tournament_topk_t)
+        vals_t, idx_t = select(
             qk_p, mk_p, msq, valid, top_k=top_k, block_q=block_q,
             block_m=block_m, scale=scale, interpret=interpret)
         vals = vals_t.T[:n]

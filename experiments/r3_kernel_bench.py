@@ -92,11 +92,17 @@ def bench_fill(mode, fills, mmax=78, top_k=50, k_obj=1, queries=1):
                                   block_m=4096, method="tournament")
         return w[None]
 
+    def sel_res(qk, valid):
+        w, _ = pallas_memory_topk(mk, qk, top_k, valid, block_q=128,
+                                  block_m=4096, method="resident")
+        return w[None]
+
     def fused(qk, valid):
         return pallas_fused_readout(mk, qk, mv, top_k, valid,
                                     block_q=128, block_m=4096)
 
-    timers = {"sel_tour": make_timed(sel), "fused": make_timed(fused)}
+    timers = {"sel_tour": make_timed(sel), "sel_res": make_timed(sel_res),
+              "fused": make_timed(fused)}
     out = {}
     for fill in fills:
         valid = jnp.asarray(fill * HW, jnp.int32)

@@ -8,7 +8,8 @@ from eva_vos_tpu.kernels import pallas_memory_topk
 from eva_vos_tpu.ops import memory_affinity_topk
 
 
-@pytest.mark.parametrize("method", ["sort", "iterative", "grid", "tournament"])
+@pytest.mark.parametrize("method", ["sort", "iterative", "grid",
+                                    "tournament", "resident"])
 @pytest.mark.parametrize("m,n,ck,top_k", [(512, 64, 16, 8), (768, 100, 32, 16)])
 def test_matches_xla_oracle(rng, m, n, ck, top_k, method):
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
@@ -68,6 +69,47 @@ def test_tournament_tie_order(rng):
     w, i = pallas_memory_topk(mk, qk, top_k, block_q=16, block_m=256,
                               interpret=True, method="tournament")
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_resident_escalation_and_ties(rng):
+    """Resident-bank kernel: all global winners packed into one lane group
+    (forces the verify sweep's per-block escalation) and duplicated rows
+    (ties within and across blocks) must still match lax.top_k exactly."""
+    m, n, ck, top_k = 512, 32, 16, 16
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    mk[20:40] *= 30.0  # 20 dominant tokens inside lanes [0,128)
+    qk = 30.0 * rng.standard_normal((n, ck)).astype(np.float32)
+    ref_w, ref_i = memory_affinity_topk(jnp.asarray(mk), jnp.asarray(qk),
+                                        top_k)
+    w, i = pallas_memory_topk(jnp.asarray(mk), jnp.asarray(qk), top_k,
+                              block_q=32, block_m=256, interpret=True,
+                              method="resident")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    base = rng.standard_normal((64, ck)).astype(np.float32)
+    mk2 = jnp.asarray(np.tile(base, (8, 1)))  # every row appears 8x
+    qk2 = jnp.asarray(rng.standard_normal((16, ck)).astype(np.float32))
+    ref_w, ref_i = memory_affinity_topk(mk2, qk2, 12)
+    w, i = pallas_memory_topk(mk2, qk2, 12, block_q=16, block_m=256,
+                              interpret=True, method="resident")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_resident_valid_tokens(rng):
+    """Partial bank fill through the resident kernel (dead blocks are
+    skipped by the in-kernel predicate, not the grid)."""
+    m, n, ck, top_k = 512, 32, 16, 8
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    for valid in (100, 256, 300):
+        ref_w, ref_i = memory_affinity_topk(mk, qk, top_k,
+                                            valid_tokens=valid)
+        w, i = pallas_memory_topk(mk, qk, top_k, valid_tokens=valid,
+                                  block_q=16, block_m=128, interpret=True,
+                                  method="resident")
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_valid_tokens(rng):
