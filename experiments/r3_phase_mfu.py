@@ -79,10 +79,10 @@ def main():
 
     table = {}
 
-    def add(name, ms, tflops):
-        ach = tflops * 1e12 / (ms * 1e-3) if tflops else None
+    def add(name, secs, tflops):
+        ach = tflops * 1e12 / secs if tflops else None
         table[name] = {
-            "ms": round(ms * 1e3, 3),
+            "ms": round(secs * 1e3, 3),
             "tflops": round(tflops, 4) if tflops else None,
             "achieved_tflops_s": round(ach / 1e12, 2) if ach else None,
             "pct_v5e_peak": round(100 * ach / PEAK, 1) if ach else None,
