@@ -100,11 +100,22 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref, *,
             contrib = contrib + jnp.where(hit, w[t:t + 1, :], 0.0)
 
         for o in range(n_obj):              # static K loop, contrib shared
-            v_blk = mv_ref[o].astype(jnp.float32)     # [Bm, CV]
+            # matmul in the value bank's NATIVE dtype with fp32 accumulate:
+            # fp32 banks keep the full-precision pass (test oracle at 1e-5);
+            # bf16 banks (production) get a single native MXU pass — the
+            # r2/r3 kernel upcast to fp32 + HIGHEST here, paying ~4-6x MXU
+            # passes to add precision below the bank's own storage rounding
+            v_blk = mv_ref[o]                          # [Bm, CV]
+            # HIGHEST (fp32 contract) is only legal — and only meaningful —
+            # for fp32 operands; Mosaic rejects it outright on bf16 inputs
+            prec = (jax.lax.Precision.HIGHEST
+                    if v_blk.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
             acc_ref[o, col, :] += jax.lax.dot_general(
-                contrib, v_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+                contrib.astype(v_blk.dtype), v_blk,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [Qt, CV]
+                precision=prec)                        # [Qt, CV]
 
     # normalize on the last bank block: z from the selection values —
     # identical math to the XLA oracle's w = exp(v - v0) / sum.  The
@@ -119,10 +130,13 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "block_q", "block_m",
-                                    "readout_block_m", "interpret"))
+                                    "readout_block_m", "sel_block_q",
+                                    "sel_block_m", "interpret"))
 def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
                          block_q: int = 128, block_m: int = 4096,
                          readout_block_m: int | None = None,
+                         sel_block_q: int | None = None,
+                         sel_block_m: int | None = None,
                          interpret: bool = False):
     """Exact top-k attention readout, fully in two streaming kernels
     (tournament selection + index-scattered value sweep).
@@ -137,21 +151,51 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     ``readout_block_m`` (default min(block_m, 2048)) bounds the value
     sweep's window: the [Bm, CV] mv blocks are double-buffered in VMEM
     alongside the [K, N_tile, CV] accumulator.
+
+    ``sel_block_q``/``sel_block_m`` override the SELECTION pass's tile
+    geometry independently of the readout's: the tournament is VPU-latency
+    bound and wants fat query tiles (512x1024 measured ~2x faster than
+    128x4096 on v5e, r3_sel_geometry), while the readout's contrib/skip
+    granularity has its own optimum.  Defaults fall back to
+    ``block_q``/``block_m``.
     """
     n, ck = qk.shape
     m = mk.shape[0]
     n_obj, _, cv = mv.shape
     scale = math.sqrt(ck)
 
+    if sel_block_q is None:
+        sel_block_q = block_q
+    if sel_block_m is None:
+        sel_block_m = block_m
     if readout_block_m is None:
-        readout_block_m = min(block_m, 2048)
-    # one padded geometry serves both kernels; block_m and readout_block_m
-    # must both divide it
-    pad_unit = max(block_m, readout_block_m)
-    assert pad_unit % readout_block_m == 0 and pad_unit % block_m == 0, (
-        "block_m and readout_block_m must divide their maximum")
+        # coarse value blocks win across fills (r3_readout_sweep: 4096 beats
+        # 512 by 1.4x at fill 72 — grid-step overhead dominates what finer
+        # skip granularity saves); pick the largest block that fits the
+        # scoped-VMEM budget for this object count (the [K, Bm, CV] value
+        # window is double-buffered, so K=2 at 4096 would blow the budget)
+        for cand in (4096, 2048, 1024, 512, 256, 128, block_m):
+            if cand > block_m:
+                continue
+            readout_block_m = cand
+            try:
+                validate_block_geometry(block_q=block_q, block_m=cand,
+                                        ck=ck, top_k=top_k, cv=cv,
+                                        n_obj=n_obj, kernel="readout")
+                break
+            except ValueError:
+                continue
+    # one padded geometry serves both kernels; the selection and readout
+    # bank/query block sizes must each divide their maximum (all powers of
+    # two in practice)
+    pad_unit = max(sel_block_m, readout_block_m)
+    assert pad_unit % readout_block_m == 0 and pad_unit % sel_block_m == 0, (
+        "sel_block_m and readout_block_m must divide their maximum")
+    pad_q_unit = max(block_q, sel_block_q)
+    assert (pad_q_unit % block_q == 0 and pad_q_unit % sel_block_q == 0), (
+        "block_q and sel_block_q must divide their maximum")
 
-    pad_n = (-n) % block_q
+    pad_n = (-n) % pad_q_unit
     pad_m = (-m) % pad_unit
     qk_p = jnp.pad(qk, ((0, pad_n), (0, 0)))
     mk_p = jnp.pad(mk, ((0, pad_m), (0, 0)))
@@ -174,8 +218,8 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     sel = os.environ.get("EVAVOS_SEL_METHOD", "tournament")
     select = resident_topk_t if sel == "resident" else tournament_topk_t
     vals_t, idx_t = select(
-        qk_p, mk_p, msq, valid, top_k=top_k, block_q=block_q,
-        block_m=block_m, scale=scale, interpret=interpret)
+        qk_p, mk_p, msq, valid, top_k=top_k, block_q=sel_block_q,
+        block_m=sel_block_m, scale=scale, interpret=interpret)
 
     rb = readout_block_m
     n_blocks = mp_ // rb

@@ -642,6 +642,11 @@ def resident_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     mp_ = mk_p.shape[0]
     n_blocks = mp_ // block_m
     group = 128 if block_m % 128 == 0 else block_m
+    import os
+    if os.environ.get("EVAVOS_TOUR_GROUP"):
+        _genv = int(os.environ["EVAVOS_TOUR_GROUP"])
+        if block_m % _genv == 0:
+            group = _genv
     g = block_m // group
     # g*rounds >= pad_k so an escalated block's exact top-pad_k fits its
     # candidate slice (pad_k = top_k rounded up to the 8-sublane tile)
@@ -716,6 +721,11 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
         validate_block_geometry(block_q=block_q, block_m=block_m, ck=ck,
                                 top_k=top_k, kernel="selection")
     group = 128 if block_m % 128 == 0 else block_m
+    import os
+    if os.environ.get("EVAVOS_TOUR_GROUP"):
+        _genv = int(os.environ["EVAVOS_TOUR_GROUP"])
+        if block_m % _genv == 0:
+            group = _genv
     g = block_m // group
     # R=8: escalation is all-or-nothing per 128-query tile, so its
     # frequency is set by the WORST query's densest group; 8 rounds make

@@ -141,11 +141,20 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
     Returns [K, N, CV] in mv.dtype.
     """
     if strategy == "pallas_fused":
+        import os
+
         from ..kernels.memory_readout import pallas_fused_readout
 
+        # selection tile geometry: the tournament is VPU-latency bound and
+        # wants fat query tiles (512x1024 measured ~2x faster than the
+        # 128x4096 readout tiling on v5e, experiments/r3_sel_geometry) —
+        # env-overridable for ablation
+        sel_bq = int(os.environ.get("EVAVOS_SEL_BQ", "0")) or None
+        sel_bm = int(os.environ.get("EVAVOS_SEL_BM", "0")) or None
         return pallas_fused_readout(
             mk, qk, mv, top_k, valid_tokens,
-            block_m=min(pallas_block_m, max(mk.shape[0], 128)))
+            block_m=min(pallas_block_m, max(mk.shape[0], 128)),
+            sel_block_q=sel_bq, sel_block_m=sel_bm)
     if strategy == "pallas":
         from ..kernels.memory_topk import pallas_memory_topk
 

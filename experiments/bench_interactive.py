@@ -80,5 +80,6 @@ def main(t=60, h=480, w=854, rounds=10, max_interactions=60,
 
 
 if __name__ == "__main__":
-    main(strategy=sys.argv[1] if len(sys.argv) > 1 else "auto",
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(strategy=pos[0] if pos else "auto",
          no_fusion="--no-fusion" in sys.argv)
