@@ -112,6 +112,20 @@ def main(t=60, h=480, w=854):
     print(f"accounted: {acc * 1e3:.1f} ms; gap: {(t_int - acc) * 1e3:.1f} ms "
           f"({(t_int - acc) / n_frames * 1e3:.2f}/frame)", flush=True)
 
+    # FIXED per-round cost: an interact that propagates (almost) nothing.
+    # The v5 interactive rounds fit ~7 ms/frame + ~95 ms/round fixed
+    # (r3_interactive_v5.log rounds 6-10) - measure that intercept
+    # directly: interact at idx=1 with 0 and 2 interacted => fwd 0 frames,
+    # bwd 0 frames.  Costs left: encode_value + state-buffer copies
+    # (no donation) + dispatch + the two empty fori_loops.
+    m2 = pad_mask(masks[:, 2].astype(np.float32), pad)
+    state2 = engine.interact(state, feats, m2, 2)
+    jax.block_until_ready(state2.prob)
+    m1 = pad_mask(masks[:, 1].astype(np.float32), pad)
+    t_zero = timed(lambda: engine.interact(state2, feats, m1, 1), iters=10)
+    print(f"interact(idx=1, 0 frames propagated): {t_zero * 1e3:.1f} ms "
+          f"fixed per-round cost", flush=True)
+
 
 if __name__ == "__main__":
     main()
