@@ -489,7 +489,7 @@ def run(quick: bool = False):
             n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
             interacted.add(idx)
             m = pad_mask(masks[:, idx].astype(np.float32), pad)
-            state = engine.interact(state, feats, m, idx)
+            state = engine.interact(state, feats, m, idx, donate=True)
             jax.block_until_ready(state.prob)
             if r == 0:
                 tstart = time.perf_counter()

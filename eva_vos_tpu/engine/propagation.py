@@ -128,6 +128,13 @@ class InferenceEngine:
 
         self._precompute_jit = jax.jit(self._precompute, static_argnames=("chunk",))
         self._interact_jit = jax.jit(self._interact)
+        # donating variant for linear sessions: the state's prob volume +
+        # memory bank are ~340 MB at 480p/60f, and without donation every
+        # round copies them input->output.  Lookahead policies (frame
+        # upper-bound) re-interact from ONE saved state many times, so
+        # donation is opt-in via interact(..., donate=True).
+        self._interact_jit_donated = jax.jit(self._interact,
+                                             donate_argnums=(0,))
 
     def _readout(self, mk, qk, mv, top_k, valid_tokens):
         if self.config.readout_strategy == "sharded":
@@ -521,8 +528,15 @@ class InferenceEngine:
         return state
 
     def interact(self, state: PropagationState, feats: VideoFeatures,
-                 mask, idx) -> PropagationState:
-        """Public entry: mask [K, nh, nw] (padded res), idx int."""
+                 mask, idx, donate: bool = False) -> PropagationState:
+        """Public entry: mask [K, nh, nw] (padded res), idx int.
+
+        ``donate=True`` donates the input state's buffers to the output
+        (no ~340 MB prob/bank copy per round) — use it for linear
+        annotation sessions where the previous state is dead after the
+        call; the input state must not be reused afterwards (lookahead
+        policies keep the default non-donating path).
+        """
         # host-side capacity check: the bank reserves max_interactions
         # certain slots; past that, dynamic_update would silently clamp into
         # the transient region and corrupt results (ADVICE r1)
@@ -533,8 +547,8 @@ class InferenceEngine:
                 f"{cc} interactions recorded, "
                 f"EngineConfig.max_interactions={self.config.max_interactions}"
                 f" — raise max_interactions when creating the engine")
-        return self._interact_jit(state, feats, mask,
-                                  jnp.asarray(idx, jnp.int32))
+        fn = self._interact_jit_donated if donate else self._interact_jit
+        return fn(state, feats, mask, jnp.asarray(idx, jnp.int32))
 
     # ------------------------------------------------------------------
     # host-side helpers

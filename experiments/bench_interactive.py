@@ -63,7 +63,7 @@ def main(t=60, h=480, w=854, rounds=10, max_interactions=60,
 
         m = pad_mask(masks[:, idx].astype(np.float32), pad)
         start = time.perf_counter()
-        state = engine.interact(state, feats, m, idx)
+        state = engine.interact(state, feats, m, idx, donate=True)
         jax.block_until_ready(state.prob)
         dt = time.perf_counter() - start
         if r == 0:

@@ -126,6 +126,32 @@ def main(t=60, h=480, w=854):
     print(f"interact(idx=1, 0 frames propagated): {t_zero * 1e3:.1f} ms "
           f"fixed per-round cost", flush=True)
 
+    # donated variant: same zero-propagation round without the input
+    # state's ~340 MB prob/bank copy (each iteration must donate a FRESH
+    # state, so rebuild one per call outside the timed region is not
+    # possible with `timed` — chain donations instead: the output state
+    # has the same shapes, so donate it back in)
+    cc2 = int(state2.certain_count)
+    inter2 = np.asarray(state2.interacted)
+    st = engine.interact(state2, feats, m1, 1, donate=False)
+    jax.block_until_ready(st.prob)
+    # warm-up compile of the donated executable
+    st = engine.interact(st._replace(
+        certain_count=jnp.asarray(cc2, jnp.int32),
+        interacted=jnp.asarray(inter2)), feats, m1, 1, donate=True)
+    jax.block_until_ready(st.prob)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        # fresh scalar/flag buffers each round: donation consumes ALL of
+        # arg 0's buffers, so reusing state2's arrays would die on round 2
+        st = engine.interact(st._replace(
+            certain_count=jnp.asarray(cc2, jnp.int32),
+            interacted=jnp.asarray(inter2)), feats, m1, 1, donate=True)
+    jax.block_until_ready(st.prob)
+    t_zero_d = (time.perf_counter() - t0) / 10
+    print(f"interact(idx=1, 0 frames, donate=True): {t_zero_d * 1e3:.1f} ms",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -260,3 +260,23 @@ def test_propagation_tracks_moving_object():
     assert ids.shape == (T, H, W)
     # interacted frame must reproduce the ground truth exactly
     np.testing.assert_array_equal(ids[0], masks[0, 0])
+
+
+def test_donating_interact_matches_default():
+    """interact(donate=True) must produce the same propagation as the
+    non-donating path; the donated input state must be consumed."""
+    stcn, fusion, sp, fp, cfg = build(1)
+    images, masks = synthetic_video(T, H, W, num_objects=1, seed=11)
+    padded, pad = prepare_video(images)
+    engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
+    feats = engine.precompute_features(padded)
+
+    def session(donate):
+        state = engine.init_state(feats, 1)
+        for idx in (0, T - 1, 2):
+            m = pad_mask(masks[:, idx].astype(np.float32), pad)
+            state = engine.interact(state, feats, m, idx, donate=donate)
+        return np.asarray(state.prob)
+
+    np.testing.assert_allclose(session(False), session(True),
+                               rtol=1e-5, atol=1e-6)
