@@ -85,10 +85,11 @@ class EngineConfig(NamedTuple):
     #                             their segmentations are independent —
     #                             bit-identical results, 1/mem_freq the
     #                             sequential steps, mem_freq x conv batch)
-    fusion_packed: str = "auto"  # 'auto'/'on'/'off': run FusionNet in the
-    #   2x2 space-to-depth layout (models.fusion.fusion_apply_packed) —
-    #   numerically equivalent, 2.5x faster on TPU where the 32-channel
-    #   convs starve the MXU; 'auto' enables it off-CPU
+    fusion_packed: str = "auto"  # 'auto'/'on'/'x4'/'off': run FusionNet in
+    #   a space-to-depth layout (models.fusion.fusion_apply_packed) —
+    #   numerically equivalent, faster on TPU where the 32-channel convs
+    #   starve the MXU ('on' = 2x2 -> 128-ch convs, 'x4' = 4x4 -> 512-ch);
+    #   'auto' resolves to $EVAVOS_FUSION_PACK (default 'on') off-CPU
 
 
 class InferenceEngine:
@@ -117,8 +118,11 @@ class InferenceEngine:
         config = config._replace(
             readout_strategy=resolve_strategy(config.readout_strategy))
         if config.fusion_packed == "auto":
+            import os
+
+            packed = os.environ.get("EVAVOS_FUSION_PACK", "on")
             config = config._replace(
-                fusion_packed="on" if jax.default_backend() != "cpu"
+                fusion_packed=packed if jax.default_backend() != "cpu"
                 else "off")
         self.config = config
         self.mesh = mesh
@@ -271,11 +275,13 @@ class InferenceEngine:
         im = feats.images[ti]
         dtype = im.dtype
 
-        if self.config.fusion_packed == "on":
+        if self.config.fusion_packed in ("on", "x4"):
             from ..models.fusion import fusion_apply_packed
 
+            s = 4 if self.config.fusion_packed == "x4" else 2
+
             def apply_fusion(*args):
-                return fusion_apply_packed(self.fusion_params, *args)
+                return fusion_apply_packed(self.fusion_params, *args, s=s)
         else:
             def apply_fusion(*args):
                 return self.fusion.apply(self.fusion_params, *args)

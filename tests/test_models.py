@@ -132,8 +132,10 @@ class TestFusionNet:
         params = net.init(jax.random.PRNGKey(0), im, seg, seg, attn, time)
         assert net.apply(params, im, seg, seg, attn, time).shape == (4, H, W)
 
-    def test_packed_execution_matches_module(self, rng):
-        """The space-to-depth fast path is the same sum re-associated."""
+    @pytest.mark.parametrize("s", [2, 4])
+    def test_packed_execution_matches_module(self, rng, s):
+        """The space-to-depth fast path is the same sum re-associated
+        (s=2: 128-ch convs at 1/4 area; s=4: 512-ch at 1/16)."""
         from eva_vos_tpu.models.fusion import fusion_apply_packed
 
         net = FusionNet()
@@ -145,7 +147,7 @@ class TestFusionNet:
         params = net.init(jax.random.PRNGKey(0), im[0], s1[0], s2[0],
                           attn[0], time[0])
         ref = net.apply(params, im, s1, s2, attn, time)
-        packed = fusion_apply_packed(params, im, s1, s2, attn, time)
+        packed = fusion_apply_packed(params, im, s1, s2, attn, time, s=s)
         assert packed.shape == ref.shape
         np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
@@ -153,7 +155,7 @@ class TestFusionNet:
         # unbatched call (the engine vmaps over objects)
         ref1 = net.apply(params, im[0], s1[0], s2[0], attn[0], time[0])
         packed1 = fusion_apply_packed(params, im[0], s1[0], s2[0], attn[0],
-                                      time[0])
+                                      time[0], s=s)
         np.testing.assert_allclose(np.asarray(packed1), np.asarray(ref1),
                                    rtol=1e-5, atol=1e-5)
 
