@@ -132,6 +132,14 @@ class InferenceEngine:
 
         self._precompute_jit = jax.jit(self._precompute, static_argnames=("chunk",))
         self._interact_jit = jax.jit(self._interact)
+        # host-side mirror of certain_count keyed by the state's device
+        # array identity: the capacity guard in interact() would otherwise
+        # block on a device->host scalar fetch EVERY round (~ms over a
+        # tunneled TPU — a measurable slice of the fixed per-round cost).
+        # Entries die with their arrays via weakref.finalize, so recycled
+        # id()s can't alias; states not produced by this engine (checkpoint
+        # loads, manual _replace) miss the cache and pay one sync.
+        self._cc_cache: dict = {}
         # donating variant for linear sessions: the state's prob volume +
         # memory bank are ~340 MB at 480p/60f, and without donation every
         # round copies them input->output.  Lookahead policies (frame
@@ -215,13 +223,22 @@ class InferenceEngine:
                 bank_k, NamedSharding(self.mesh, P(self.mesh_axis)))
             bank_v = jax.device_put(
                 bank_v, NamedSharding(self.mesh, P(None, self.mesh_axis)))
-        return PropagationState(
+        state = PropagationState(
             prob=prob,
             bank_k=bank_k,
             bank_v=bank_v,
             certain_count=jnp.asarray(0, jnp.int32),
             interacted=jnp.zeros((t,), dtype=bool),
         )
+        self._remember_cc(state.certain_count, 0)
+        return state
+
+    def _remember_cc(self, cc_array, value: int) -> None:
+        import weakref
+
+        key = id(cc_array)
+        self._cc_cache[key] = value
+        weakref.finalize(cc_array, self._cc_cache.pop, key, None)
 
     # ------------------------------------------------------------------
     # the jitted interaction step
@@ -545,8 +562,14 @@ class InferenceEngine:
         """
         # host-side capacity check: the bank reserves max_interactions
         # certain slots; past that, dynamic_update would silently clamp into
-        # the transient region and corrupt results (ADVICE r1)
-        cc = int(state.certain_count)
+        # the transient region and corrupt results (ADVICE r1).  The count
+        # comes from a host-side mirror keyed by array identity — a device
+        # scalar fetch here would serialize every round on a device->host
+        # round-trip (milliseconds over a tunneled TPU); states this engine
+        # didn't produce miss the cache and pay the one-off sync.
+        cc = self._cc_cache.get(id(state.certain_count))
+        if cc is None:
+            cc = int(state.certain_count)
         if cc >= self.config.max_interactions:
             raise ValueError(
                 f"memory bank certain-slot capacity exhausted: "
@@ -554,7 +577,9 @@ class InferenceEngine:
                 f"EngineConfig.max_interactions={self.config.max_interactions}"
                 f" — raise max_interactions when creating the engine")
         fn = self._interact_jit_donated if donate else self._interact_jit
-        return fn(state, feats, mask, jnp.asarray(idx, jnp.int32))
+        out = fn(state, feats, mask, jnp.asarray(idx, jnp.int32))
+        self._remember_cc(out.certain_count, cc + 1)
+        return out
 
     # ------------------------------------------------------------------
     # host-side helpers

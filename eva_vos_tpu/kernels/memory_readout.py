@@ -54,8 +54,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .memory_topk import (_compiler_params, live_blocks, resident_fits,
-                          resident_topk_t, tournament_topk_t,
+from .memory_topk import (_compiler_params, chunked_topk_t, live_blocks,
+                          resident_fits, resident_topk_t, tournament_topk_t,
                           validate_block_geometry)
 
 NEG_INF = -1e30
@@ -128,6 +128,70 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref, *,
     out_ref[:] = jnp.where(last, acc / z[None, :, None], acc)
 
 
+def _scatter_readout_kernel_chunked(mv_ref, vals_ref, idx_ref, out_ref,
+                                    acc_ref, *, block_m: int, super_m: int,
+                                    block_q: int, top_k: int, n_obj: int):
+    """Chunked variant of ``_scatter_readout_kernel``: the memory-axis grid
+    step DMAs a ``super_m``-token value SUPERBLOCK and an in-kernel loop
+    walks its ``block_m`` sub-chunks, skipping each one unless some
+    selected id lands in it (one [k, Qt] compare — the ids of a warm bank
+    cluster into a handful of sub-chunks).  Cuts the per-grid-step
+    scheduling overhead ``super_m / block_m``-fold; the accumulator
+    semantics (whole-output fp32 scratch, normalize on the last memory
+    step) are identical to the per-block kernel."""
+    j = pl.program_id(0)                    # value superblock (outer)
+    i = pl.program_id(1)                    # query tile (inner)
+
+    vals = vals_ref[:]                      # [k, Qt]
+    sel_idx = idx_ref[:]                    # [k, Qt]
+    w = jnp.exp(vals - vals[0:1, :])        # [k, Qt]
+    nq = vals.shape[1]
+    cv = mv_ref.shape[-1]
+    col = pl.ds(i * block_q, block_q)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:, col, :] = jnp.zeros((n_obj, nq, cv), jnp.float32)
+
+    import os
+
+    no_skip = bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))  # ablation
+    n_sub = super_m // block_m
+    sb_base = j * super_m
+
+    def body(t, carry):
+        lo = sb_base + t * block_m
+        in_block = (sel_idx >= lo) & (sel_idx < lo + block_m)
+
+        def go(_):
+            tok = lo + jax.lax.broadcasted_iota(jnp.int32, (block_m, nq), 0)
+            contrib = jnp.zeros((block_m, nq), jnp.float32)
+            for k in range(top_k):          # static unroll
+                hit = sel_idx[k:k + 1, :] == tok
+                contrib = contrib + jnp.where(hit, w[k:k + 1, :], 0.0)
+            for o in range(n_obj):
+                v_blk = mv_ref[o, pl.ds(t * block_m, block_m), :]
+                prec = (jax.lax.Precision.HIGHEST
+                        if v_blk.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT)
+                acc_ref[o, col, :] += jax.lax.dot_general(
+                    contrib.astype(v_blk.dtype), v_blk,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
+            return 0
+
+        return jax.lax.cond(no_skip | jnp.any(in_block), go,
+                            lambda _: 0, None)
+
+    jax.lax.fori_loop(0, n_sub, body, 0)
+
+    z = jnp.sum(w, axis=0)                  # [Qt]
+    last = j == pl.num_programs(0) - 1
+    acc = acc_ref[:, col, :]
+    out_ref[:] = jnp.where(last, acc / z[None, :, None], acc)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "block_q", "block_m",
                                     "readout_block_m", "sel_block_q",
@@ -164,10 +228,23 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     n_obj, _, cv = mv.shape
     scale = math.sqrt(ck)
 
-    if sel_block_q is None:
-        sel_block_q = block_q
-    if sel_block_m is None:
-        sel_block_m = block_m
+    if sel_block_q is None or sel_block_m is None:
+        # default the SELECTION pass to fat query tiles: the tournament is
+        # VPU-latency bound and 512x1024 measured ~2x faster than the
+        # readout's 128x4096 tiling on v5e (r3_sel_geometry,
+        # r3_interactive_v5_fatsel) — fall back to the readout tiling on
+        # devices whose scoped-VMEM budget can't fit the fat tile
+        cand_q = sel_block_q or 512
+        cand_m = sel_block_m or 1024
+        try:
+            if not interpret:
+                validate_block_geometry(block_q=cand_q, block_m=cand_m,
+                                        ck=ck, top_k=top_k,
+                                        kernel="selection")
+            sel_block_q, sel_block_m = cand_q, cand_m
+        except ValueError:
+            sel_block_q = sel_block_q or block_q
+            sel_block_m = sel_block_m or block_m
     if readout_block_m is None:
         # coarse value blocks win across fills (r3_readout_sweep: 4096 beats
         # 512 by 1.4x at fill 72 — grid-step overhead dominates what finer
@@ -207,16 +284,17 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     np_, mp_ = n + pad_n, m + pad_m
 
     # pass 1: exact streaming selection, transposed outputs [k, Np].
-    # Tournament is the production default: the resident-bank variant
-    # (whole bank in VMEM, one extraction per tile) measured ~2x SLOWER on
-    # v5e (r3_kernel_bench_v2: its single extraction scans the full
-    # static candidate buffer, which costs more than the tournament's
-    # small per-live-block merges) — it remains available via
-    # EVAVOS_SEL_METHOD=resident as a documented ablation.
+    # The chunked newest-first tournament is the production default
+    # (superblock DMA + in-kernel sub-block loop: grid-step overhead drops
+    # ~16x at warm banks, and reverse order makes the running-tau skip
+    # fire from the first sub-blocks).  The per-block tournament and the
+    # resident-bank variant (measured ~2x slower on v5e,
+    # r3_kernel_bench_v2) remain via EVAVOS_SEL_METHOD as ablations.
     import os
 
-    sel = os.environ.get("EVAVOS_SEL_METHOD", "tournament")
-    select = resident_topk_t if sel == "resident" else tournament_topk_t
+    sel = os.environ.get("EVAVOS_SEL_METHOD", "chunked")
+    select = {"resident": resident_topk_t, "tournament": tournament_topk_t,
+              "chunked": chunked_topk_t}.get(sel, chunked_topk_t)
     vals_t, idx_t = select(
         qk_p, mk_p, msq, valid, top_k=top_k, block_q=sel_block_q,
         block_m=sel_block_m, scale=scale, interpret=interpret)
@@ -237,6 +315,49 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
                 f"fp32 needs {scratch_bytes / 2**20:.0f} MiB VMEM scratch "
                 f"(> {limit * 3 // 4 / 2**20:.0f} MiB available) — use "
                 f"readout strategy 'scatter' for this many objects/queries")
+
+    method = os.environ.get("EVAVOS_READOUT_METHOD", "chunked")
+    if method == "chunked":
+        # superblock DMA + in-kernel sub-chunk loop: the per-block grid
+        # pays ~12 us of scheduling per (block, tile) step, which at a
+        # warm 72-slot bank (29 blocks x 64 tiles) dwarfs the compute.
+        # The superblock is sized to keep the double-buffered value
+        # window within a fraction of scoped VMEM next to the
+        # whole-output accumulator.
+        from .memory_topk import _vmem_limit_bytes as _vlb
+
+        itemsize = jnp.dtype(mv_p.dtype).itemsize
+        budget = _vlb() // 4
+        rsuper = min(16384, budget // max(1, 2 * n_obj * cv * itemsize))
+        rsuper -= rsuper % rb
+        rsuper = max(rsuper, rb)
+        extra = (-mp_) % rsuper
+        if extra:
+            mv_p = jnp.pad(mv_p, ((0, 0), (0, extra), (0, 0)))
+        n_super = mv_p.shape[1] // rsuper
+        out = pl.pallas_call(
+            functools.partial(_scatter_readout_kernel_chunked, block_m=rb,
+                              super_m=rsuper, block_q=block_q, top_k=top_k,
+                              n_obj=n_obj),
+            grid=(live_blocks(valid, rsuper, n_super, interpret),
+                  np_ // block_q),
+            in_specs=[
+                pl.BlockSpec((n_obj, rsuper, cv), lambda j, i: (0, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((top_k, block_q), lambda j, i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((top_k, block_q), lambda j, i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_obj, block_q, cv),
+                                   lambda j, i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_obj, np_, cv), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_obj, np_, cv), jnp.float32)],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(mv_p, vals_t, idx_t)
+        return out[:, :n].astype(mv.dtype)
 
     # bank block is the OUTER grid dim (query tiles inner): each mv block
     # is fetched once total; accumulation happens in a whole-output fp32

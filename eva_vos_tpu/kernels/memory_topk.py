@@ -502,6 +502,213 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         idx_ref[:] = run_idx[:]
 
 
+def _kernel_tournament_chunked(order_ref, qk_ref, mk_ref, msq_ref, valid_ref,
+                               vals_ref, idx_ref, run_vals, run_idx, *,
+                               block_m: int, super_m: int, top_k: int,
+                               scale: float, rounds: int, group: int):
+    """Chunked tournament: same selection math as ``_kernel_tournament``
+    but the memory-axis grid step moves a SUPERBLOCK (``super_m`` tokens,
+    one big pipelined DMA) and an in-kernel ``fori_loop`` walks its
+    ``block_m``-token sub-blocks.  Two structural wins over the per-block
+    grid at warm interactive banks (fill 72 = 114 blocks x 16 query tiles
+    = 1824 grid steps at ~12 us each — pure scheduling overhead):
+
+    * grid steps drop ``super_m / block_m``-fold; the sub-block loop costs
+      ~1 us per iteration instead of a Mosaic grid step,
+    * the bank is processed NEWEST-FIRST (superblocks reversed via the
+      scalar-prefetched ``order`` map, sub-blocks reversed in the loop).
+      Propagation queries are temporally adjacent to the most recent
+      admissions, so the running top-k's tau converges after the first
+      sub-blocks and the remaining (old, low-affinity) sub-blocks skip at
+      one compare+any pass each.
+
+    Out-of-order exactness: the merge resolves ties by explicit MIN TOKEN
+    ID (``_extract_topk_rows``), so candidate arrival order is irrelevant;
+    the skip uses ``>=`` (not ``>``) so a sub-block holding a token that
+    TIES the running tau is still processed and the min-id rule picks the
+    lax.top_k winner.  A global winner w can never be skipped: tau_run is
+    the k-th best of a candidate SUBSET, hence tau_run <= tau* <= score(w)
+    whenever w is in the exact top-k.  The verify/escalate ladder is the
+    same as the in-order kernel's.
+    """
+    j = pl.program_id(1)
+    q = qk_ref[:]                                             # [Qt, CK]
+    nq = q.shape[0]
+    n_sub = super_m // block_m
+    sb = order_ref[j]                       # bank superblock this step holds
+    g = block_m // group
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    import os
+
+    no_skip = bool(os.environ.get("EVAVOS_SEL_NOTAU"))  # ablation
+
+    @pl.when(j == 0)
+    def _():
+        run_vals[:] = jnp.full((top_k, nq), NEG_INF, jnp.float32)
+        run_idx[:] = jnp.zeros((top_k, nq), jnp.int32)
+
+    def body(t, carry):
+        s = n_sub - 1 - t                   # newest sub-block first
+        base_tok = sb * super_m + s * block_m
+
+        def live(_):
+            mk_blk = mk_ref[pl.ds(s * block_m, block_m), :]
+            msq_blk = msq_ref[pl.ds(s * block_m, block_m)]
+            dot = jax.lax.dot_general(
+                mk_blk, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            scores = (2.0 * dot - msq_blk[:, None]) / scale   # [Bm, Qt]
+            tok_col = base_tok + jax.lax.broadcasted_iota(
+                jnp.int32, (block_m, 1), 0)
+            scores = jnp.where(tok_col < valid_ref[0], scores, NEG_INF)
+
+            tau_run = run_vals[top_k - 1:top_k, :]            # [1, Qt]
+
+            def process(_):
+                sub_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, group, 1), 1)
+                base = base_tok + group * jax.lax.broadcasted_iota(
+                    jnp.int32, (g, nq), 0)
+
+                def tourney(s3, n):
+                    vs, ids = [], []
+                    for _ in range(n):
+                        m = jnp.max(s3, axis=1)
+                        am = jnp.argmax(s3, axis=1).astype(jnp.int32)
+                        vs.append(m)
+                        ids.append(base + am)
+                        s3 = jnp.where(sub_ids == am[:, None, :],
+                                       NEG_INF, s3)
+                    return (s3, jnp.concatenate(vs, axis=0),
+                            jnp.concatenate(ids, axis=0))
+
+                s3a, cv1, ci1 = tourney(scores.reshape(g, group, nq), rounds)
+                cat_v = jnp.concatenate([cv1, run_vals[:]], axis=0)
+                cat_i = jnp.concatenate([ci1, run_idx[:]], axis=0)
+                mv1, mi1 = _extract_topk_rows(cat_v, cat_i, top_k)
+
+                def verified(mv, block_cv):
+                    tau_m = mv[top_k - 1:top_k, :]
+                    n_ge = jnp.sum((scores >= tau_m).astype(jnp.float32),
+                                   axis=0)
+                    c_ge = jnp.sum((block_cv >= tau_m).astype(jnp.float32),
+                                   axis=0)
+                    return jnp.all(n_ge == c_ge)
+
+                def level2(_):
+                    _, cv2, ci2 = tourney(s3a, rounds)
+                    cat2_v = jnp.concatenate([cv1, cv2, run_vals[:]], axis=0)
+                    cat2_i = jnp.concatenate([ci1, ci2, run_idx[:]], axis=0)
+                    mv2, mi2 = _extract_topk_rows(cat2_v, cat2_i, top_k)
+
+                    def full(_):
+                        tok = base_tok + jax.lax.broadcasted_iota(
+                            jnp.int32, (block_m, nq), 0)
+                        full_v = jnp.concatenate([scores, run_vals[:]],
+                                                 axis=0)
+                        full_i = jnp.concatenate([tok, run_idx[:]], axis=0)
+                        return _extract_topk_rows(full_v, full_i, top_k)
+
+                    return jax.lax.cond(
+                        verified(mv2, jnp.concatenate([cv1, cv2], axis=0)),
+                        lambda _: (mv2, mi2), full, None)
+
+                mvals, midx = jax.lax.cond(
+                    verified(mv1, cv1), lambda _: (mv1, mi1), level2, None)
+                run_vals[:] = mvals
+                run_idx[:] = midx
+                return 0
+
+            return jax.lax.cond(no_skip | jnp.any(scores >= tau_run),
+                                process, lambda _: 0, None)
+
+        return jax.lax.cond(base_tok < valid_ref[0], live, lambda _: 0, None)
+
+    jax.lax.fori_loop(0, n_sub, body, 0)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
+def chunked_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
+                   block_m: int, super_m: int = 16384, scale: float,
+                   interpret: bool = False):
+    """Chunked newest-first tournament selection on PRE-PADDED inputs; same
+    contract as ``tournament_topk_t`` (TRANSPOSED outputs [top_k, Np]).
+    ``block_m`` is the compute sub-block; ``super_m`` the per-grid-step DMA
+    window (clamped to the padded bank and kept a multiple of block_m)."""
+    np_, ck = qk_p.shape
+    mp_ = mk_p.shape[0]
+    super_m = min(super_m, mp_)
+    super_m -= super_m % block_m
+    super_m = max(super_m, block_m)
+    if mp_ % super_m:
+        # wrapper pads the bank to a block_m multiple; round up to super_m
+        extra = (-mp_) % super_m
+        qk_pad = qk_p  # queries untouched
+        mk_p = jnp.pad(mk_p, ((0, extra), (0, 0)))
+        msq = jnp.pad(msq, ((0, extra),))
+        mp_ = mk_p.shape[0]
+        del qk_pad
+    n_super = mp_ // super_m
+    group = 128 if block_m % 128 == 0 else block_m
+    import os
+
+    if os.environ.get("EVAVOS_TOUR_GROUP"):
+        _genv = int(os.environ["EVAVOS_TOUR_GROUP"])
+        if block_m % _genv == 0:
+            group = _genv
+    g = block_m // group
+    rounds = max(8, -(-top_k // g))
+    if os.environ.get("EVAVOS_TOUR_ROUNDS"):
+        rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
+
+    live_sb = live_blocks(valid, super_m, n_super, interpret)
+    if interpret:
+        order = jnp.arange(n_super, dtype=jnp.int32)[::-1]
+    else:
+        order = jnp.maximum(
+            live_sb - 1 - jnp.arange(n_super, dtype=jnp.int32), 0)
+    return pl.pallas_call(
+        functools.partial(_kernel_tournament_chunked, block_m=block_m,
+                          super_m=super_m, top_k=top_k, scale=scale,
+                          rounds=rounds, group=group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(np_ // block_q, live_sb),
+            in_specs=[
+                pl.BlockSpec((block_q, ck), lambda i, j, order: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((super_m, ck),
+                             lambda i, j, order: (order[j], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((super_m,), lambda i, j, order: (order[j],),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((top_k, block_q), lambda i, j, order: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((top_k, block_q), lambda i, j, order: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((top_k, block_q), jnp.float32),
+                pltpu.VMEM((top_k, block_q), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((top_k, np_), jnp.float32),
+            jax.ShapeDtypeStruct((top_k, np_), jnp.int32),
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(order, qk_p, mk_p, msq, valid)
+
+
 def _kernel_resident(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
                      cand_v, cand_i, *, block_m: int, top_k: int,
                      scale: float, rounds: int, group: int):
@@ -808,9 +1015,10 @@ def pallas_memory_topk(mk, qk, top_k: int, valid_tokens=None,
 
     np_, mp_ = n + pad_n, m + pad_m
 
-    if method in ("tournament", "resident"):
-        select = (resident_topk_t if method == "resident"
-                  else tournament_topk_t)
+    if method in ("tournament", "resident", "chunked"):
+        select = {"resident": resident_topk_t,
+                  "tournament": tournament_topk_t,
+                  "chunked": chunked_topk_t}[method]
         vals_t, idx_t = select(
             qk_p, mk_p, msq, valid, top_k=top_k, block_q=block_q,
             block_m=block_m, scale=scale, interpret=interpret)

@@ -9,7 +9,7 @@ from eva_vos_tpu.ops import memory_affinity_topk
 
 
 @pytest.mark.parametrize("method", ["sort", "iterative", "grid",
-                                    "tournament", "resident"])
+                                    "tournament", "resident", "chunked"])
 @pytest.mark.parametrize("m,n,ck,top_k", [(512, 64, 16, 8), (768, 100, 32, 16)])
 def test_matches_xla_oracle(rng, m, n, ck, top_k, method):
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
@@ -110,6 +110,65 @@ def test_resident_valid_tokens(rng):
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
         np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_escalation_ties_and_fill(rng):
+    """Chunked newest-first tournament: winners packed into one lane group
+    (escalation), duplicated rows (ties across sub-blocks — the reversed
+    processing order must still resolve to the lowest token id), and
+    partial fills at sub-block granularity."""
+    m, n, ck, top_k = 512, 32, 16, 16
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    mk[20:40] *= 30.0
+    qk = 30.0 * rng.standard_normal((n, ck)).astype(np.float32)
+    ref_w, ref_i = memory_affinity_topk(jnp.asarray(mk), jnp.asarray(qk),
+                                        top_k)
+    w, i = pallas_memory_topk(jnp.asarray(mk), jnp.asarray(qk), top_k,
+                              block_q=32, block_m=128, interpret=True,
+                              method="chunked")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    base = rng.standard_normal((64, ck)).astype(np.float32)
+    mk2 = jnp.asarray(np.tile(base, (8, 1)))  # every row appears 8x
+    qk2 = jnp.asarray(rng.standard_normal((16, ck)).astype(np.float32))
+    ref_w, ref_i = memory_affinity_topk(mk2, qk2, 12)
+    w, i = pallas_memory_topk(mk2, qk2, 12, block_q=16, block_m=128,
+                              interpret=True, method="chunked")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    mk3 = jnp.asarray(rng.standard_normal((512, ck)).astype(np.float32))
+    qk3 = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    for valid in (100, 256, 300):
+        ref_w, ref_i = memory_affinity_topk(mk3, qk3, top_k,
+                                            valid_tokens=valid)
+        w, i = pallas_memory_topk(mk3, qk3, top_k, valid_tokens=valid,
+                                  block_q=16, block_m=128, interpret=True,
+                                  method="chunked")
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_multi_superblock(rng):
+    """Several superblocks per bank (the reversed scalar-prefetch order
+    map) with a partial fill whose live prefix ends mid-superblock."""
+    import math
+
+    from eva_vos_tpu.kernels.memory_topk import chunked_topk_t
+
+    m, n, ck, top_k = 1024, 32, 16, 8
+    mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    msq = jnp.sum(mk.astype(jnp.float32) ** 2, axis=-1)
+    for valid in (m, 700, 150):
+        ref_w, ref_i = memory_affinity_topk(mk, qk, top_k,
+                                            valid_tokens=valid)
+        vals_t, idx_t = chunked_topk_t(
+            qk, mk, msq, jnp.asarray([valid], jnp.int32), top_k=top_k,
+            block_q=32, block_m=128, super_m=256, scale=math.sqrt(ck),
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx_t.T),
+                                      np.asarray(ref_i))
 
 
 def test_valid_tokens(rng):

@@ -67,6 +67,42 @@ def test_resident_selection_exact(data, slots):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("slots", [2, 7, 24])
+def test_chunked_selection_exact(data, slots):
+    """Chunked newest-first tournament (production default): compiled
+    scalar-prefetch reversed order + in-kernel sub-block loop + >= tau
+    skip must stay exact at partial fills."""
+    from eva_vos_tpu.kernels.memory_topk import pallas_memory_topk
+    from eva_vos_tpu.ops.memory_attention import memory_affinity_topk
+
+    mk, qk, _ = data
+    valid = slots * HW
+    w, i = pallas_memory_topk(mk, qk, TOP_K, valid, block_q=128,
+                              block_m=1024, method="chunked")
+    rw, ri = memory_affinity_topk(mk, qk, TOP_K, valid)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_escalation_exact(data):
+    """Dominant tokens packed into one lane group: the compiled chunked
+    kernel's verify ladder must escalate and stay exact."""
+    from eva_vos_tpu.kernels.memory_topk import pallas_memory_topk
+    from eva_vos_tpu.ops.memory_attention import memory_affinity_topk
+
+    rng = np.random.default_rng(11)
+    m, q = 24 * HW, 2 * HW
+    mk = rng.standard_normal((m, CK)).astype(np.float32)
+    mk[40:80] *= 30.0
+    mk = jnp.asarray(mk, jnp.bfloat16)
+    qk = jnp.asarray(5.0 * rng.standard_normal((q, CK)), jnp.bfloat16)
+    w, i = pallas_memory_topk(mk, qk, TOP_K, m, block_q=128,
+                              block_m=1024, method="chunked")
+    rw, ri = memory_affinity_topk(mk, qk, TOP_K, m)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
 def test_resident_escalation_exact(data):
     """Dominant tokens packed into one lane group: the compiled verify
     sweep must escalate and stay exact."""
