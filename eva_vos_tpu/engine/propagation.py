@@ -85,7 +85,7 @@ class EngineConfig(NamedTuple):
     #                             their segmentations are independent —
     #                             bit-identical results, 1/mem_freq the
     #                             sequential steps, mem_freq x conv batch)
-    fusion_packed: str = "auto"  # 'auto'/'on'/'x4'/'off': run FusionNet in
+    fusion_packed: str = "auto"  # 'auto'/'on'/'x4'/'gemm'/'off': run FusionNet in
     #   a space-to-depth layout (models.fusion.fusion_apply_packed) —
     #   numerically equivalent, faster on TPU where the 32-channel convs
     #   starve the MXU ('on' = 2x2 -> 128-ch convs, 'x4' = 4x4 -> 512-ch);
@@ -299,6 +299,11 @@ class InferenceEngine:
 
             def apply_fusion(*args):
                 return fusion_apply_packed(self.fusion_params, *args, s=s)
+        elif self.config.fusion_packed == "gemm":
+            from ..models.fusion import fusion_apply_phase_gemm
+
+            def apply_fusion(*args):
+                return fusion_apply_phase_gemm(self.fusion_params, *args)
         else:
             def apply_fusion(*args):
                 return self.fusion.apply(self.fusion_params, *args)

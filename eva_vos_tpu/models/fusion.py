@@ -108,6 +108,123 @@ def _conv_p(x, wp, b, s: int = 2):
     return y.reshape(*batch, *y.shape[1:])
 
 
+def _phase_sets(p: int):
+    """Valid (input-phase, output-phase) index sets for packed shift ``p``
+    along one axis (s=2).  An output pixel at phase ``o`` reading tap
+    ``d`` hits input phase ``i`` at packed shift ``p`` with
+    ``o + d = 2p + i``; solving over d in {-1,0,1} gives dense blocks:
+    p=0 -> all (i, o); p=+1 -> (0, 1) only; p=-1 -> (1, 0) only."""
+    if p == 0:
+        return (0, 1), (0, 1)
+    if p == 1:
+        return (0,), (1,)
+    return (1,), (0,)
+
+
+def _phase_blocks(w):
+    """[3,3,Cin,Cout] -> {(py,px): dense [r*Cin, c*Cout] block} covering
+    each original tap exactly once (total MACs == the unpacked conv's).
+
+    Entry ((iy,ix,cin), (oy,ox,cout)) = w[dy+1, dx+1, cin, cout] with
+    dy = 2py+iy-oy, dx = 2px+ix-ox — always in {-1,0,1} inside the valid
+    phase sets.  Constant-folds under jit."""
+    cin, cout = w.shape[2], w.shape[3]
+    blocks = {}
+    for py in (-1, 0, 1):
+        ry, cy = _phase_sets(py)
+        for px in (-1, 0, 1):
+            rx, cx = _phase_sets(px)
+            blk = jnp.zeros((len(ry), len(rx), cin, len(cy), len(cx), cout),
+                            w.dtype)
+            for a, iy in enumerate(ry):
+                for b, ix in enumerate(rx):
+                    for e, oy in enumerate(cy):
+                        for f, ox in enumerate(cx):
+                            dy, dx = 2 * py + iy - oy, 2 * px + ix - ox
+                            blk = blk.at[a, b, :, e, f, :].set(
+                                w[dy + 1, dx + 1])
+            blocks[(py, px)] = blk.reshape(
+                len(ry) * len(rx) * cin, len(cy) * len(cx) * cout)
+    return blocks
+
+
+def _shift2(x, py, px):
+    """Zero-padded shift on the two packed spatial axes of
+    [..., h2, w2, C]: out(i, j) = x(i+py, j+px)."""
+    if py == 0 and px == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-3] = (max(0, -py), max(0, py))
+    pad[-2] = (max(0, -px), max(0, px))
+    xp = jnp.pad(x, pad)
+    h2, w2 = x.shape[-3], x.shape[-2]
+    lo_y, lo_x = py + max(0, -py), px + max(0, -px)
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(xp, lo_y, lo_y + h2, axis=-3),
+        lo_x, lo_x + w2, axis=-2)
+
+
+def _conv_phase_gemm(x4, blocks, bias):
+    """One 3x3 stride-1 conv on phase-packed input ``x4``
+    [..., h2, w2, 4, Cin] (phase index iy*2+ix) -> [..., h2, w2, 4, Cout].
+
+    Nine dense GEMMs, one per packed shift — exactly the unpacked conv's
+    MAC count (the space-to-depth kernel of ``_pack_kernel`` is 3/4
+    structural zeros and pays 4x the FLOPs); the center shift is a
+    [*, 4Cin] x [4Cin, 4Cout] matmul that fills the 128x128 MXU at
+    Cin=Cout=32."""
+    cout = blocks[(0, 0)].shape[1] // 4
+    parts = {(oy, ox): [] for oy in (0, 1) for ox in (0, 1)}
+    for (py, px), blk in blocks.items():
+        ry, cy = _phase_sets(py)
+        rx, cx = _phase_sets(px)
+        rows = [iy * 2 + ix for iy in ry for ix in rx]
+        xs = x4[..., rows, :]
+        xs = xs.reshape(*xs.shape[:-2], -1)          # [.., h2, w2, r*Cin]
+        xs = _shift2(xs, py, px)
+        yb = xs @ blk.astype(xs.dtype)               # [.., h2, w2, c*Cout]
+        yb = yb.reshape(*yb.shape[:-1], len(cy) * len(cx), cout)
+        for e, oy in enumerate(cy):
+            for f, ox in enumerate(cx):
+                parts[(oy, ox)].append(yb[..., e * len(cx) + f, :])
+    out = jnp.stack(
+        [sum(parts[(oy, ox)]) for oy in (0, 1) for ox in (0, 1)], axis=-2)
+    return out + bias.astype(out.dtype)
+
+
+def fusion_apply_phase_gemm(variables, im, seg1, seg2, attn, time):
+    """Numerically-equivalent phase-GEMM execution of
+    ``FusionNet.__call__``: packed 2x2 layout like ``fusion_apply_packed``
+    but each conv runs as nine TIGHT dense GEMM blocks (original FLOPs,
+    MXU-shaped) instead of one 4x-inflated space-to-depth conv."""
+    p = variables["params"]
+    h, w = im.shape[-3], im.shape[-2]
+    t = jnp.broadcast_to(time[..., None, None, :], (*im.shape[:-3], h, w, 2))
+    x = jnp.concatenate(
+        [im, seg1[..., None], seg2[..., None], attn, t.astype(im.dtype)],
+        axis=-1)
+    # [.., h2, w2, 4, C] phase-packed (iy, ix sub-pixel order)
+    *b, _, _, c = x.shape
+    x = x.reshape(*b, h // 2, 2, w // 2, 2, c)
+    x = jnp.moveaxis(x, -4, -3).reshape(*b, h // 2, w // 2, 4, c)
+
+    def conv(name, xin):
+        return _conv_phase_gemm(xin, _phase_blocks(p[name]["kernel"]),
+                                p[name]["bias"])
+
+    x = jax.nn.relu(conv("conv1", x))
+    r = jax.nn.relu(conv("conv2_0", x))
+    r = conv("conv2_1", r)
+    x = jax.nn.relu(x + r)
+    r = jax.nn.relu(conv("conv3_0", x))
+    r = conv("conv3_1", r)
+    x = jax.nn.relu(x + r)
+    x = conv("final_conv", x)
+    *b2, h2, w2, _, _ = x.shape
+    x = jnp.moveaxis(x.reshape(*b2, h2, w2, 2, 2), -2, -3)
+    return x.reshape(*b2, h2 * 2, w2 * 2)
+
+
 def fusion_apply_packed(variables, im, seg1, seg2, attn, time, s: int = 2):
     """Numerically-equivalent packed execution of ``FusionNet.__call__``
     over the same flax param tree.  Requires H and W divisible by ``s``

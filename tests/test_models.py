@@ -159,6 +159,30 @@ class TestFusionNet:
         np.testing.assert_allclose(np.asarray(packed1), np.asarray(ref1),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_phase_gemm_matches_module(self, rng):
+        """The phase-GEMM fast path (nine tight dense blocks, the unpacked
+        conv's exact MAC count) equals the module numerically."""
+        from eva_vos_tpu.models.fusion import fusion_apply_phase_gemm
+
+        net = FusionNet()
+        im = jnp.asarray(rng.standard_normal((3, H, W, 3)), jnp.float32)
+        s1 = jnp.asarray(rng.uniform(size=(3, H, W)), jnp.float32)
+        s2 = jnp.asarray(rng.uniform(size=(3, H, W)), jnp.float32)
+        attn = jnp.asarray(rng.standard_normal((3, H, W, 2)), jnp.float32)
+        time = jnp.asarray(rng.uniform(size=(3, 2)), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), im[0], s1[0], s2[0],
+                          attn[0], time[0])
+        ref = net.apply(params, im, s1, s2, attn, time)
+        got = fusion_apply_phase_gemm(params, im, s1, s2, attn, time)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        ref1 = net.apply(params, im[0], s1[0], s2[0], attn[0], time[0])
+        got1 = fusion_apply_phase_gemm(params, im[0], s1[0], s2[0], attn[0],
+                                       time[0])
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestQNet:
     def test_logits_and_features(self):
