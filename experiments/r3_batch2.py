@@ -196,6 +196,21 @@ def part_bisect():
     res["fusion_b5_ms"] = round(timed(fuse, prev5, prob5, tis) * 1e3, 2)
     save("bisect", res)
 
+    # fusion execution modes: packed s=2 (production) vs phase-GEMM vs x4
+    for mode in ("gemm", "x4"):
+        eng2 = object.__new__(type(engine))
+        eng2.__dict__ = dict(engine.__dict__)
+        eng2.config = engine.config._replace(fusion_packed=mode)
+        fuse2 = jax.jit(lambda prev, curr, ti: eng2._fuse_frames_batched(
+            feats, prev, curr, key_k16, posd, negd,
+            jnp.asarray(40, jnp.int32), jnp.asarray(20, jnp.int32), ti))
+        try:
+            res[f"fusion_b5_{mode}_ms"] = round(
+                timed(fuse2, prev5, prob5, tis) * 1e3, 2)
+        except Exception as e:
+            res[f"fusion_b5_{mode}_ms"] = f"{type(e).__name__}: {e}"[:120]
+        save("bisect", res)
+
     ev = jax.jit(lambda m: engine._encode_value(feats, jnp.asarray(31), m))
     res["encode_value_ms"] = round(
         timed(ev, prob5[0, 1:].astype(dtype)) * 1e3, 2)
