@@ -642,17 +642,23 @@ def chunked_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     window (clamped to the padded bank and kept a multiple of block_m)."""
     np_, ck = qk_p.shape
     mp_ = mk_p.shape[0]
+    if not interpret:
+        validate_block_geometry(block_q=block_q, block_m=block_m, ck=ck,
+                                top_k=top_k, kernel="selection")
+        # the double-buffered key superblock must leave the scoped budget
+        # mostly free for the score tile + tournament temporaries
+        itemsize = jnp.dtype(mk_p.dtype).itemsize
+        cap = _vmem_limit_bytes() // 4 // max(1, 2 * ck * itemsize)
+        super_m = min(super_m, max(block_m, cap - cap % block_m))
     super_m = min(super_m, mp_)
     super_m -= super_m % block_m
     super_m = max(super_m, block_m)
     if mp_ % super_m:
         # wrapper pads the bank to a block_m multiple; round up to super_m
         extra = (-mp_) % super_m
-        qk_pad = qk_p  # queries untouched
         mk_p = jnp.pad(mk_p, ((0, extra), (0, 0)))
         msq = jnp.pad(msq, ((0, extra),))
         mp_ = mk_p.shape[0]
-        del qk_pad
     n_super = mp_ // super_m
     group = 128 if block_m % 128 == 0 else block_m
     import os
