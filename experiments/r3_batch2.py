@@ -266,37 +266,48 @@ def part_interactive(no_fusion=False):
     jax.block_until_ready(feats.k16)
     state = engine.init_state(feats, 1)
 
-    rounds = 10
-    order = [0, t - 1] + list(range(2, t - 1, max(1, t // rounds)))[:rounds - 2]
-    total_frames = 0
-    t0 = None
-    interacted = set()
-    per_round = []
-    for r, idx in enumerate(order[:rounds]):
-        fwd = min((i for i in interacted if i > idx), default=t)
-        bwd = max((i for i in interacted if i < idx), default=-1)
-        n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
-        interacted.add(idx)
-        m = pad_mask(masks[:, idx].astype(np.float32), pad)
-        start = time.perf_counter()
-        state = engine.interact(state, feats, m, idx, donate=True)
-        jax.block_until_ready(state.prob)
-        dt = time.perf_counter() - start
-        if r == 0:
-            print(f"round 1 (compile): {dt:.1f}s", flush=True)
-            t0 = time.perf_counter()
-        else:
-            total_frames += n_frames
-            per_round.append([n_frames, round(dt * 1e3)])
-            print(f"round {r + 1}: {n_frames} frames, {dt * 1e3:.0f} ms",
-                  flush=True)
-    elapsed = time.perf_counter() - t0
-    key = "interactive_nofusion" if no_fusion else "interactive"
-    save(key, {
-        "fps_honest": round(total_frames / elapsed, 1),
-        "rounds_per_sec": round((rounds - 1) / elapsed, 2),
-        "per_round_frames_ms": per_round,
-    })
+    # session 1: the 10-round headline protocol (matches bench.py), then
+    # session 2 continues to 30 rounds on a fresh state — same compiled
+    # program, deeper bank fills — to expose the late-regime steady state.
+    for rounds, tag in ((10, ""), (30, "_r30")):
+        state = engine.init_state(feats, 1)
+        order = ([0, t - 1]
+                 + list(range(2, t - 1, max(1, t // rounds)))[:rounds - 2])
+        total_frames = 0
+        t0 = None
+        interacted = set()
+        per_round = []
+        tail_frames = tail_time = 0.0
+        for r, idx in enumerate(order[:rounds]):
+            fwd = min((i for i in interacted if i > idx), default=t)
+            bwd = max((i for i in interacted if i < idx), default=-1)
+            n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
+            interacted.add(idx)
+            m = pad_mask(masks[:, idx].astype(np.float32), pad)
+            start = time.perf_counter()
+            state = engine.interact(state, feats, m, idx, donate=True)
+            jax.block_until_ready(state.prob)
+            dt = time.perf_counter() - start
+            if r == 0:
+                print(f"round 1 (compile): {dt:.1f}s", flush=True)
+                t0 = time.perf_counter()
+            else:
+                total_frames += n_frames
+                per_round.append([n_frames, round(dt * 1e3)])
+                if r >= rounds // 2:
+                    tail_frames += n_frames
+                    tail_time += dt
+                print(f"round {r + 1}: {n_frames} frames, {dt * 1e3:.0f} ms",
+                      flush=True)
+        elapsed = time.perf_counter() - t0
+        key = ("interactive_nofusion" if no_fusion else "interactive") + tag
+        save(key, {
+            "fps_honest": round(total_frames / elapsed, 1),
+            "rounds_per_sec": round((rounds - 1) / elapsed, 2),
+            "tail_fps_honest": round(tail_frames / tail_time, 1)
+            if tail_time else None,
+            "per_round_frames_ms": per_round,
+        })
 
 
 if __name__ == "__main__":
