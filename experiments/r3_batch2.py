@@ -266,6 +266,13 @@ def part_interactive(no_fusion=False):
     jax.block_until_ready(feats.k16)
     state = engine.init_state(feats, 1)
 
+    # device-resident annotation masks: slicing on device replaces the
+    # per-round 1.6 MB host->device mask upload (over a tunneled TPU that
+    # upload is a visible slice of the fixed per-round cost; in the real
+    # loop SAM produces masks on device anyway)
+    masks_dev = pad_mask(masks.astype(np.float32), pad)   # [K, T, nh, nw]
+    jax.block_until_ready(masks_dev)
+
     # session 1: the 10-round headline protocol (matches bench.py), then
     # session 2 continues to 30 rounds on a fresh state — same compiled
     # program, deeper bank fills — to expose the late-regime steady state.
@@ -283,7 +290,7 @@ def part_interactive(no_fusion=False):
             bwd = max((i for i in interacted if i < idx), default=-1)
             n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
             interacted.add(idx)
-            m = pad_mask(masks[:, idx].astype(np.float32), pad)
+            m = masks_dev[:, idx]
             start = time.perf_counter()
             state = engine.interact(state, feats, m, idx, donate=True)
             jax.block_until_ready(state.prob)
