@@ -326,6 +326,12 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
         # whole-output accumulator.
         from .memory_topk import _vmem_limit_bytes as _vlb
 
+        # finer sub-chunks than the per-block grid's optimum: the r3
+        # "coarse value blocks win" result (r3_readout_sweep) was grid-step
+        # overhead, which the in-kernel loop removes — 1024-token chunks
+        # make the contrib build 4x cheaper and the selected-id skip
+        # 4x sharper at the same DMA width
+        rb = min(rb, 1024)
         itemsize = jnp.dtype(mv_p.dtype).itemsize
         budget = _vlb() // 4
         rsuper = min(16384, budget // max(1, 2 * n_obj * cv * itemsize))
