@@ -668,7 +668,8 @@ def chunked_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
         if block_m % _genv == 0:
             group = _genv
     g = block_m // group
-    rounds = max(8, -(-top_k // g))
+    # r6 <= r8 at every measured fill (r3_tour_params); see tournament_topk_t
+    rounds = max(6, -(-top_k // g))
     if os.environ.get("EVAVOS_TOUR_ROUNDS"):
         rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
 
@@ -940,12 +941,13 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
         if block_m % _genv == 0:
             group = _genv
     g = block_m // group
-    # R=8: escalation is all-or-nothing per 128-query tile, so its
-    # frequency is set by the WORST query's densest group; 8 rounds make
-    # group overflow (a group hiding > R of a query's global top-k) rare
-    # even on dense/clustered score distributions, at ~2x the (cheap)
-    # tournament pass cost.  verify/escalate keeps exactness regardless.
-    rounds = max(8, -(-top_k // g))
+    # R=6: escalation is all-or-nothing per query tile, so its frequency
+    # is set by the WORST query's densest group; 6 rounds keep group
+    # overflow (a group hiding > R of a query's global top-k) rare while
+    # shaving pass cost — the r3_tour_params sweep measured r6 <= r8 at
+    # every fill on both clustered and random banks, with a cliff only at
+    # r4.  verify/escalate keeps exactness regardless.
+    rounds = max(6, -(-top_k // g))
     import os
     if os.environ.get("EVAVOS_TOUR_ROUNDS"):
         rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
