@@ -149,27 +149,45 @@ def _eval_session_metric(session: Session, metric: str):
     ids = session.engine.masks_from_prob(session.state.prob, session.pad)
     gen_masks = (ids > 0).astype(np.float32)  # K == 1 on eval paths
 
-    frame_quality, frame_quality_all = [], []
     interacted = set(session.frames_list)
     gt_all = session.sample.gt[0]
 
-    for f in range(session.num_frames):
-        pred = gen_masks[f].astype(bool)
-        gt = gt_all[f].astype(bool)
-        if f in interacted and session.frame_interaction_type[f] == 1:
-            pred = gt.copy()
-            gen_masks[f] = gt
-        elif f in interacted and session.frame_interaction_type[f] == 2:
-            pred = np.asarray(session.masks_from_sam[f]).squeeze().astype(bool)
-            gen_masks[f] = pred
+    # interacted-frame overrides first (reference applies them before the
+    # per-frame metric, eval.py:57-64)
+    for f in interacted:
+        if session.frame_interaction_type[f] == 1:
+            gen_masks[f] = gt_all[f].astype(bool)
+        elif session.frame_interaction_type[f] == 2:
+            gen_masks[f] = np.asarray(
+                session.masks_from_sam[f]).squeeze().astype(bool)
 
-        if gt.sum() == 0:
+    # per-frame quality for ALL frames in one device-batched call
+    # (bit-equal to the per-frame host loop — integer counts on device,
+    # float64 assembly on host; the host loop costs ~13 ms/frame at 480p
+    # for j_and_f, ~0.8 s/round on a 60-frame video).  EVAVOS_HOST_METRICS
+    # restores the per-frame loop for cross-checking.
+    import os
+
+    from ..ops.metrics import quality_batch
+
+    gt_sums = gt_all.reshape(gt_all.shape[0], -1).astype(bool).sum(axis=1)
+    if os.environ.get("EVAVOS_HOST_METRICS"):
+        qs = [compute_iou(gen_masks[f].astype(bool)[None],
+                          gt_all[f].astype(bool)[None]) if metric == "j"
+              else get_j_and_f(gt_all[f].astype(bool)[None],
+                               gen_masks[f].astype(bool)[None])
+              for f in range(session.num_frames)]
+        qs = np.asarray(qs, np.float64)
+    else:
+        qs = quality_batch(gt_all.astype(bool), gen_masks.astype(bool),
+                           metric)
+
+    frame_quality, frame_quality_all = [], []
+    for f in range(session.num_frames):
+        if gt_sums[f] == 0:
             frame_quality_all.append(EMPTY_GT_TOKEN)
             continue
-        if metric == "j":
-            q = compute_iou(pred[None], gt[None])
-        else:
-            q = get_j_and_f(gt[None], pred[None])
+        q = float(qs[f])
         frame_quality.append(q)
         frame_quality_all.append(q)
 

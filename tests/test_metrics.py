@@ -92,3 +92,43 @@ class TestJandF:
         j = binary_jaccard(pred, gt)
         f = f_measure(gt[0], pred[0])
         assert abs(get_j_and_f(gt, pred) - (0.5 * j + 0.5 * f)) < 1e-9
+
+
+class TestBatchedQuality:
+    """Device-batched J / J&F must be bit-equal to the per-frame host loop
+    (integer counts on device, identical float64 assembly on host)."""
+
+    def _frames(self, rng):
+        frames = []
+        # random speckle, structured squares, empty, full, 1px shifts
+        frames.append((rng.uniform(size=(48, 64)) > 0.5,
+                       rng.uniform(size=(48, 64)) > 0.5))
+        a = square_mask(48, 64, 10, 30, 12, 40)
+        b = square_mask(48, 64, 11, 31, 12, 40)
+        frames.append((a, b))
+        frames.append((a, a))
+        frames.append((np.zeros((48, 64), bool), b.astype(bool)))
+        frames.append((a.astype(bool), np.zeros((48, 64), bool)))
+        frames.append((np.zeros((48, 64), bool), np.zeros((48, 64), bool)))
+        frames.append((np.ones((48, 64), bool), np.ones((48, 64), bool)))
+        gt = np.stack([np.asarray(g, bool) for g, _ in frames])
+        pred = np.stack([np.asarray(p, bool) for _, p in frames])
+        return gt, pred
+
+    def test_j_and_f_batch_equals_loop(self, rng):
+        from eva_vos_tpu.ops.metrics import j_and_f_batch
+
+        gt, pred = self._frames(rng)
+        batch = j_and_f_batch(gt, pred)
+        loop = np.asarray([get_j_and_f(gt[t][None], pred[t][None])
+                           for t in range(gt.shape[0])])
+        np.testing.assert_array_equal(batch, loop)
+
+    def test_quality_batch_j_equals_compute_iou(self, rng):
+        from eva_vos_tpu.ops.metrics import quality_batch
+
+        gt, pred = self._frames(rng)
+        batch = quality_batch(gt, pred, "j")
+        loop = np.asarray([compute_iou(pred[t][None], gt[t][None])
+                           for t in range(gt.shape[0])])
+        np.testing.assert_array_equal(batch, loop)
