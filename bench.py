@@ -501,23 +501,34 @@ def run(quick: bool = False):
         # produce SAM masks on device)
         masks_dev = pad_mask(masks.astype(np.float32), pad)
         jax.block_until_ready(masks_dev)
+        tail_frames = tail_time = 0.0
         for r, idx in enumerate(order[:rounds]):
             fwd = min((i for i in interacted if i > idx), default=t)
             bwd = max((i for i in interacted if i < idx), default=-1)
             n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
             interacted.add(idx)
             m = masks_dev[:, idx]
+            rt0 = time.perf_counter()
             state = engine.interact(state, feats, m, idx, donate=True)
             jax.block_until_ready(state.prob)
             if r == 0:
                 tstart = time.perf_counter()
             else:
                 total_frames += n_frames
+                if r >= rounds // 2:
+                    tail_frames += n_frames
+                    tail_time += time.perf_counter() - rt0
         ielapsed = time.perf_counter() - tstart
         result["interactive_fps_72slot_honest"] = round(
             total_frames / ielapsed, 2)
         result["interactive_rounds_per_sec"] = round(
             (rounds - 1) / ielapsed, 3)
+        if tail_time:
+            # steady-state: the session's second half (warmer bank, fewer
+            # frames per round — the regime where fixed per-round cost and
+            # bank-fill-dependent selection show up)
+            result["interactive_tail_fps_honest"] = round(
+                tail_frames / tail_time, 2)
 
         # production-geometry quality: same fitted weights through the
         # torch reference (CPU fp32) and this engine (bf16 + production
