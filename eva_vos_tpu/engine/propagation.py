@@ -593,8 +593,10 @@ class InferenceEngine:
     def masks_from_prob(prob, pad) -> np.ndarray:
         """prob [K+1, T, nh, nw] -> argmax object-id masks [T, H, W] uint8."""
         unp = unpad_hw(prob, pad)
-        ids = jnp.argmax(unp, axis=0)  # [T, H, W]
-        return np.asarray(ids).astype(np.uint8)
+        # cast on device: the per-round host transfer is then 1 byte/px
+        # (uint8) instead of the argmax's 4-byte ints
+        ids = jnp.argmax(unp, axis=0).astype(jnp.uint8)  # [T, H, W]
+        return np.asarray(ids)
 
 
 def prepare_video(images_01: np.ndarray, dtype=jnp.float32):
