@@ -67,6 +67,7 @@ class Session:
     masks_from_sam: dict = field(default_factory=dict)
     pf_annots: list = field(default_factory=list)
     timers: WallClock = field(default_factory=WallClock)
+    gt_dev: Optional[object] = None   # device-cached [T, H, W] bool gt
 
     @property
     def num_frames(self) -> int:
@@ -179,8 +180,11 @@ def _eval_session_metric(session: Session, metric: str):
               for f in range(session.num_frames)]
         qs = np.asarray(qs, np.float64)
     else:
-        qs = quality_batch(gt_all.astype(bool), gen_masks.astype(bool),
-                           metric)
+        if session.gt_dev is None:
+            import jax.numpy as jnp
+
+            session.gt_dev = jnp.asarray(gt_all.astype(bool))
+        qs = quality_batch(session.gt_dev, gen_masks.astype(bool), metric)
 
     frame_quality, frame_quality_all = [], []
     for f in range(session.num_frames):

@@ -254,24 +254,30 @@ def quality_batch(gt_masks, pred_masks, metric: str):
     """
     if metric == "j_and_f":
         return j_and_f_batch(gt_masks, pred_masks)
-    gt = np.asarray(gt_masks, dtype=bool)
-    pred = np.asarray(pred_masks, dtype=bool)
-    counts = np.asarray(_iou_counts(jnp.asarray(gt), jnp.asarray(pred)),
-                        np.float64)
+    gt = _as_device_bool(gt_masks)
+    pred = _as_device_bool(pred_masks)
+    counts = np.asarray(_iou_counts(gt, pred), np.float64)
     return (counts[:, 0] + SMOOTH) / (counts[:, 1] + SMOOTH)
+
+
+def _as_device_bool(x):
+    """bool device array without a host round-trip for inputs already on
+    device (sessions cache their gt stack there)."""
+    if isinstance(x, jax.Array):
+        return x.astype(bool)
+    return jnp.asarray(np.asarray(x, dtype=bool))
 
 
 def j_and_f_batch(gt_masks, pred_masks, bound_th: float = 0.008):
     """Batched exact J&F: gt/pred [T, H, W] (bool-like) -> [T] floats equal
     to ``get_j_and_f(gt[t][None], pred[t][None])`` for every t."""
-    gt = np.asarray(gt_masks, dtype=bool)
-    pred = np.asarray(pred_masks, dtype=bool)
+    gt = _as_device_bool(gt_masks)
+    pred = _as_device_bool(pred_masks)
     assert gt.shape == pred.shape and gt.ndim == 3
     h, w = gt.shape[1:]
     bound_pix = bound_th if bound_th >= 1 else int(
         np.ceil(bound_th * np.linalg.norm((h, w))))
-    counts = np.asarray(_jf_counts(jnp.asarray(gt), jnp.asarray(pred),
-                                   int(bound_pix)))
+    counts = np.asarray(_jf_counts(gt, pred, int(bound_pix)))
     out = []
     for inter, union, n_fg, n_gt, fg_match, gt_match in counts:
         j = 0.0 if union == 0 else float(inter) / float(union)
