@@ -149,6 +149,19 @@ def test_chunked_escalation_ties_and_fill(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_chunked_bf16_inputs(rng):
+    """bf16 keys (the engine's bank dtype) through the chunked kernel."""
+    m, n, ck, top_k = 512, 32, 16, 8
+    mk = jnp.asarray(rng.standard_normal((m, ck)), jnp.bfloat16)
+    qk = jnp.asarray(rng.standard_normal((n, ck)), jnp.bfloat16)
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k)
+    w, i = pallas_memory_topk(mk, qk, top_k, block_q=32, block_m=128,
+                              interpret=True, method="chunked")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                               rtol=2e-2, atol=1e-3)
+
+
 def test_chunked_multi_superblock(rng):
     """Several superblocks per bank (the reversed scalar-prefetch order
     map) with a partial fill whose live prefix ends mid-superblock."""
