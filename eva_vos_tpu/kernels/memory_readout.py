@@ -284,17 +284,19 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     np_, mp_ = n + pad_n, m + pad_m
 
     # pass 1: exact streaming selection, transposed outputs [k, Np].
-    # The chunked newest-first tournament is the production default
-    # (superblock DMA + in-kernel sub-block loop: grid-step overhead drops
-    # ~16x at warm banks, and reverse order makes the running-tau skip
-    # fire from the first sub-blocks).  The per-block tournament and the
-    # resident-bank variant (measured ~2x slower on v5e,
-    # r3_kernel_bench_v2) remain via EVAVOS_SEL_METHOD as ablations.
+    # The per-block tournament is the production default: on-chip timing
+    # (r3_batch2 kernels sweep, v5e) shows it 3.7x faster than the chunked
+    # newest-first variant on clustered (realistic) 72-slot banks — the
+    # per-block grid lets the running-tau skip drop a whole block's
+    # compute, while the chunked kernel's in-kernel sub-block loop
+    # serializes DMA and compute without the grid's double-buffering.
+    # The chunked and resident variants remain via EVAVOS_SEL_METHOD as
+    # ablations.
     import os
 
-    sel = os.environ.get("EVAVOS_SEL_METHOD", "chunked")
+    sel = os.environ.get("EVAVOS_SEL_METHOD", "tournament")
     select = {"resident": resident_topk_t, "tournament": tournament_topk_t,
-              "chunked": chunked_topk_t}.get(sel, chunked_topk_t)
+              "chunked": chunked_topk_t}.get(sel, tournament_topk_t)
     vals_t, idx_t = select(
         qk_p, mk_p, msq, valid, top_k=top_k, block_q=sel_block_q,
         block_m=sel_block_m, scale=scale, interpret=interpret)
@@ -316,14 +318,18 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
                 f"(> {limit * 3 // 4 / 2**20:.0f} MiB available) — use "
                 f"readout strategy 'scatter' for this many objects/queries")
 
-    method = os.environ.get("EVAVOS_READOUT_METHOD", "chunked")
+    # the per-block grid readout is the production default: r3_batch2
+    # on-chip timing shows it 3.2x faster than the chunked superblock
+    # variant on clustered 72-slot banks (the ~12 us/grid-step scheduling
+    # hypothesis behind the chunked design did not survive measurement —
+    # the grid pipeline's DMA/compute overlap is worth more)
+    method = os.environ.get("EVAVOS_READOUT_METHOD", "grid")
     if method == "chunked":
-        # superblock DMA + in-kernel sub-chunk loop: the per-block grid
-        # pays ~12 us of scheduling per (block, tile) step, which at a
-        # warm 72-slot bank (29 blocks x 64 tiles) dwarfs the compute.
-        # The superblock is sized to keep the double-buffered value
-        # window within a fraction of scoped VMEM next to the
-        # whole-output accumulator.
+        # superblock DMA + in-kernel sub-chunk loop (ablation): one DMA
+        # per superblock, sub-chunk loop inside the kernel.  The
+        # superblock is sized to keep the double-buffered value window
+        # within a fraction of scoped VMEM next to the whole-output
+        # accumulator.
         from .memory_topk import _vmem_limit_bytes as _vlb
 
         # finer sub-chunks than the per-block grid's optimum: the r3
