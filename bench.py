@@ -454,24 +454,34 @@ def run(quick: bool = False):
     state0 = engine.init_state(feats, 1)
     m0 = pad_mask(masks[:, 0].astype(np.float32), pad).astype(jnp.float32)
 
-    # warm-up (compile).  The kernel probe validates the chunked kernels at
-    # small geometry only; if the production-geometry compile fails on this
-    # backend, fall back to the per-block r2 kernels rather than losing the
-    # round's benchmark capture.
-    try:
-        out = engine.interact(state0, feats, m0, 0)
-        jax.block_until_ready(out.prob)
-    except Exception as e:
-        if quick:
-            raise
-        print(f"[bench] production compile failed ({type(e).__name__}); "
-              f"retrying with per-block kernels", file=sys.stderr)
-        os.environ["EVAVOS_SEL_METHOD"] = "tournament"
-        os.environ["EVAVOS_READOUT_METHOD"] = "grid"
-        engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
-        state0 = engine.init_state(feats, 1)
-        out = engine.interact(state0, feats, m0, 0)
-        jax.block_until_ready(out.prob)
+    # warm-up (compile).  The axon tunnel's remote-compile helper drops the
+    # pipe intermittently on big 480p programs — that is transient, so
+    # retry the SAME config (the persistent cache makes retries cheap)
+    # before concluding the production kernels cannot compile and falling
+    # back to the XLA scatter readout.
+    last_exc = None
+    for attempt in range(4):
+        try:
+            out = engine.interact(state0, feats, m0, 0)
+            jax.block_until_ready(out.prob)
+            break
+        except Exception as e:
+            if quick:
+                raise
+            last_exc = e
+            transient = "remote_compile" in str(e) or "UNAVAILABLE" in str(e)
+            print(f"[bench] interact compile attempt {attempt + 1} failed "
+                  f"({type(e).__name__}{'/transient' if transient else ''})",
+                  file=sys.stderr)
+            if not transient and attempt >= 1:
+                print("[bench] falling back to XLA scatter readout",
+                      file=sys.stderr)
+                cfg = cfg._replace(readout_strategy="scatter")
+                engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
+                state0 = engine.init_state(feats, 1)
+            time.sleep(20)
+    else:
+        raise last_exc
 
     start = time.perf_counter()
     for _ in range(iters):

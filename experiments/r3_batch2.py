@@ -27,6 +27,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the axon tunnel's remote-compile helper
+# intermittently drops the pipe on big 480p programs; caching successful
+# compiles makes a retry of the script resume instead of recompiling
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/evavos_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 OUT = Path(__file__).parent / "r3_batch2.json"
 
 
