@@ -180,13 +180,16 @@ def part_bisect():
 
     tis = jnp.asarray([31, 32, 33, 34, 35], jnp.int32)
     front = jnp.asarray(13, jnp.int32)
-    seg = jax.jit(lambda bk, bv, fr, ti: engine._segment_frames_batched(
-        feats, bk, bv, fr, ti))
+    # NOTE: feats MUST be a jit argument, not a closure — closed-over
+    # device arrays are inlined as MLIR constants and the ~200 MB payload
+    # overflows the remote-compile helper's request limit (HTTP 413)
+    seg = jax.jit(lambda fts, bk, bv, fr, ti: engine._segment_frames_batched(
+        fts, bk, bv, fr, ti))
     res["segment_b5_fill13_ms"] = round(
-        timed(seg, state.bank_k, state.bank_v, front, tis) * 1e3, 2)
+        timed(seg, feats, state.bank_k, state.bank_v, front, tis) * 1e3, 2)
     save("bisect", res)
 
-    out5 = seg(state.bank_k, state.bank_v, front, tis)
+    out5 = seg(feats, state.bank_k, state.bank_v, front, tis)
     agg = jax.jit(lambda o: jax.vmap(
         lambda p: aggregate_wbg(p.astype(jnp.float32), keep_bg=True))(o))
     res["aggregate_b5_ms"] = round(timed(agg, out5) * 1e3, 2)
@@ -199,10 +202,13 @@ def part_bisect():
     posd = jnp.ones((1, ph, pw), jnp.float32) * 0.1
     negd = jnp.ones((1, ph, pw), jnp.float32) * 0.1
     prev5 = jnp.moveaxis(state.prob[:, tis], 1, 0)
-    fuse = jax.jit(lambda prev, curr, ti: engine._fuse_frames_batched(
-        feats, prev, curr, key_k16, posd, negd,
-        jnp.asarray(40, jnp.int32), jnp.asarray(20, jnp.int32), ti))
-    res["fusion_b5_ms"] = round(timed(fuse, prev5, prob5, tis) * 1e3, 2)
+    fuse = jax.jit(lambda fts, prev, curr, kk, pd, nd, ti:
+                   engine._fuse_frames_batched(
+                       fts, prev, curr, kk, pd, nd,
+                       jnp.asarray(40, jnp.int32), jnp.asarray(20, jnp.int32),
+                       ti))
+    res["fusion_b5_ms"] = round(
+        timed(fuse, feats, prev5, prob5, key_k16, posd, negd, tis) * 1e3, 2)
     save("bisect", res)
 
     # fusion execution modes: packed s=2 (production) vs phase-GEMM vs x4
@@ -210,19 +216,23 @@ def part_bisect():
         eng2 = object.__new__(type(engine))
         eng2.__dict__ = dict(engine.__dict__)
         eng2.config = engine.config._replace(fusion_packed=mode)
-        fuse2 = jax.jit(lambda prev, curr, ti: eng2._fuse_frames_batched(
-            feats, prev, curr, key_k16, posd, negd,
-            jnp.asarray(40, jnp.int32), jnp.asarray(20, jnp.int32), ti))
+        fuse2 = jax.jit(lambda fts, prev, curr, kk, pd, nd, ti:
+                        eng2._fuse_frames_batched(
+                            fts, prev, curr, kk, pd, nd,
+                            jnp.asarray(40, jnp.int32),
+                            jnp.asarray(20, jnp.int32), ti))
         try:
             res[f"fusion_b5_{mode}_ms"] = round(
-                timed(fuse2, prev5, prob5, tis) * 1e3, 2)
+                timed(fuse2, feats, prev5, prob5, key_k16, posd, negd,
+                      tis) * 1e3, 2)
         except Exception as e:
             res[f"fusion_b5_{mode}_ms"] = f"{type(e).__name__}: {e}"[:120]
         save("bisect", res)
 
-    ev = jax.jit(lambda m: engine._encode_value(feats, jnp.asarray(31), m))
+    ev = jax.jit(lambda fts, m: engine._encode_value(
+        fts, jnp.asarray(31), m))
     res["encode_value_ms"] = round(
-        timed(ev, prob5[0, 1:].astype(dtype)) * 1e3, 2)
+        timed(ev, feats, prob5[0, 1:].astype(dtype)) * 1e3, 2)
     save("bisect", res)
 
     m = pad_mask(masks[:, 40].astype(np.float32), pad)
