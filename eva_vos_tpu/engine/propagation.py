@@ -448,7 +448,11 @@ class InferenceEngine:
         needs_fusion = jnp.logical_and(closest_ti != t, closest_ti != -1)
         n_steps = jnp.where(forward, closest_ti - idx - 1, idx - closest_ti - 1)
         n_steps = jnp.maximum(n_steps, 0)
-        n_blocks = (n_steps + bsz - 1) // bsz
+        # full blocks run the batched body; the remainder (n_steps % bsz)
+        # runs single-frame steps — a padded block costs the same as a full
+        # one, which dominated short late-session rounds (r3_batch2:
+        # 3-frame rounds paid two full 5-frame blocks)
+        n_blocks = n_steps // bsz
         end = jnp.where(forward, closest_ti - 1, closest_ti + 1)
 
         def body(bi, carry):
@@ -504,8 +508,42 @@ class InferenceEngine:
                     prob, val, tis_safe[j], 1)
             return prob, bank_k, bank_v, front
 
-        prob, bank_k, bank_v, _ = jax.lax.fori_loop(
+        prob, bank_k, bank_v, front = jax.lax.fori_loop(
             0, n_blocks, body, (prob, bank_k, bank_v, cc))
+
+        # single-frame tail: the (n_steps % bsz) frames after the last full
+        # block.  They never admit memory (admissions happen only at full
+        # mem_freq boundaries, handled by the block body above), so the
+        # bank is frozen here — results are bit-equal to the padded-block
+        # formulation, at 1/bsz the compute for 1-frame tails.
+        h16, w16 = feats.f16_thin.shape[1:3]
+
+        def tail_body(i, prob):
+            ti = jnp.where(forward, idx + 1 + i, idx - 1 - i)
+            ti = jnp.clip(ti, 0, t - 1)
+            out = self._segment_frame(feats, bank_k, bank_v, front, ti)
+            out = aggregate_wbg(out.astype(jnp.float32), keep_bg=True)
+
+            prev = jax.lax.dynamic_index_in_dim(prob, ti, axis=1,
+                                                keepdims=False)
+
+            def fused(_):
+                attn = self.stcn.apply(
+                    self.stcn_params, key_k16, pos_diff, neg_diff,
+                    feats.k16[ti].reshape(h16, w16, -1),
+                    method="get_attention")
+                return self._fuse_frame(feats, prev, out, attn,
+                                        closest_ti, idx, ti)
+
+            if self.fusion is None:
+                new_prob_ti = out
+            else:
+                new_prob_ti = jax.lax.cond(needs_fusion, fused,
+                                           lambda _: out, None)
+            return jax.lax.dynamic_update_index_in_dim(
+                prob, new_prob_ti, ti, 1)
+
+        prob = jax.lax.fori_loop(n_blocks * bsz, n_steps, tail_body, prob)
         return state._replace(prob=prob, bank_k=bank_k, bank_v=bank_v)
 
     def _interact(self, state: PropagationState, feats: VideoFeatures,
