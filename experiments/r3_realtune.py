@@ -121,47 +121,92 @@ def load_bank(nrounds):
 
 
 def part_sweep():
+    """Config OUTER, fills inner, jax.clear_caches() between configs: the
+    tournament env knobs are read at trace time inside a jitted function,
+    so without a cache clear every config after the first would silently
+    re-measure the first config's kernel."""
     from eva_vos_tpu.kernels.memory_topk import pallas_memory_topk
     from eva_vos_tpu.kernels.memory_readout import pallas_fused_readout
 
-    top_k = 50
-    for nrounds in FILLS:
-        mk, mv, qk, valid = load_bank(nrounds)
-        res = {}
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
-        # selection geometry x tournament params
-        for bq, bm in ((512, 1024), (1024, 1024), (512, 2048), (1024, 2048),
-                       (256, 1024), (512, 512)):
-            for rounds, group in ((6, 0), (4, 0), (8, 0), (6, 16), (6, 64)):
-                os.environ["EVAVOS_TOUR_ROUNDS"] = str(rounds)
-                if group:
-                    os.environ["EVAVOS_TOUR_GROUP"] = str(group)
-                else:
-                    os.environ.pop("EVAVOS_TOUR_GROUP", None)
+    top_k = 50
+    banks = {n: load_bank(n) for n in FILLS}
+    res = {n: {} for n in FILLS}
+
+    # selection geometry x tournament params
+    geoms = ((512, 1024), (1024, 1024), (512, 2048), (1024, 2048),
+             (256, 1024), (512, 512))
+    params = ((6, 0), (4, 0), (8, 0), (6, 16), (6, 64))
+    for bq, bm in geoms:
+        for rounds, group in params:
+            os.environ["EVAVOS_TOUR_ROUNDS"] = str(rounds)
+            if group:
+                os.environ["EVAVOS_TOUR_GROUP"] = str(group)
+            else:
+                os.environ.pop("EVAVOS_TOUR_GROUP", None)
+            jax.clear_caches()
+            key = f"sel_q{bq}_m{bm}_r{rounds}_g{group or 'def'}"
+            for nrounds in FILLS:
+                mk, mv, qk, valid = banks[nrounds]
 
                 def sel(q, v):
                     return pallas_memory_topk(mk, q, top_k, v, block_q=bq,
                                               block_m=bm, method="tournament")
-                key = f"sel_q{bq}_m{bm}_r{rounds}_g{group or 'def'}"
                 try:
-                    res[key] = round(timed(sel, qk, valid, iters=10) * 1e3, 3)
+                    res[nrounds][key] = round(
+                        timed(sel, qk, valid, iters=10) * 1e3, 3)
                 except Exception as e:
-                    res[key] = f"{type(e).__name__}"[:40]
-                save(f"sweep_{nrounds}", res)
-        os.environ.pop("EVAVOS_TOUR_ROUNDS", None)
-        os.environ.pop("EVAVOS_TOUR_GROUP", None)
+                    res[nrounds][key] = f"{type(e).__name__}"[:40]
+                save(f"sweep_{nrounds}", res[nrounds])
+    # resident-bank variants: no per-block extraction (ONE extraction over
+    # the candidate scratch) — lost 2x on synthetic clustered banks where
+    # the tournament's tau-skip fires, but real banks are unskippable
+    # (live_pair_frac=1.0), which may flip the comparison
+    # g*rounds must cover pad_k=56 (an escalated block writes its exact
+    # top-pad_k into its candidate slice)
+    for bm, group, rounds in ((1024, 128, 8), (1024, 64, 4), (1024, 32, 2),
+                              (1024, 32, 4), (2048, 64, 4), (1024, 64, 8)):
+        os.environ["EVAVOS_TOUR_ROUNDS"] = str(rounds)
+        os.environ["EVAVOS_TOUR_GROUP"] = str(group)
+        jax.clear_caches()
+        key = f"res_m{bm}_g{group}_r{rounds}"
+        for nrounds in FILLS:
+            mk, mv, qk, valid = banks[nrounds]
 
-        # readout granularity (selection fixed at production defaults)
-        for rbm in (4096, 2048, 1024, 8192):
+            def sel(q, v):
+                return pallas_memory_topk(mk, q, top_k, v, block_q=512,
+                                          block_m=bm, method="resident")
+            try:
+                res[nrounds][key] = round(
+                    timed(sel, qk, valid, iters=10) * 1e3, 3)
+            except Exception as e:
+                res[nrounds][key] = f"{type(e).__name__}: {e}"[:60]
+            save(f"sweep_{nrounds}", res[nrounds])
+
+    os.environ.pop("EVAVOS_TOUR_ROUNDS", None)
+    os.environ.pop("EVAVOS_TOUR_GROUP", None)
+    jax.clear_caches()
+
+    # readout granularity (selection fixed at production defaults);
+    # readout_block_m is a real argument, no cache clear needed
+    for rbm in (4096, 2048, 1024, 8192):
+        for nrounds in FILLS:
+            mk, mv, qk, valid = banks[nrounds]
+
             def fused(q, v):
                 return pallas_fused_readout(mk, q, mv, top_k, v,
                                             readout_block_m=rbm)
             key = f"fused_rbm{rbm}"
             try:
-                res[key] = round(timed(fused, qk, valid, iters=10) * 1e3, 3)
+                res[nrounds][key] = round(
+                    timed(fused, qk, valid, iters=10) * 1e3, 3)
             except Exception as e:
-                res[key] = f"{type(e).__name__}"[:40]
-            save(f"sweep_{nrounds}", res)
+                res[nrounds][key] = f"{type(e).__name__}"[:40]
+            save(f"sweep_{nrounds}", res[nrounds])
 
 
 def part_glue():
