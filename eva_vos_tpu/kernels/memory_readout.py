@@ -61,44 +61,73 @@ from .memory_topk import (_compiler_params, chunked_topk_t, live_blocks,
 NEG_INF = -1e30
 
 
-def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref, *,
-                            block_m: int, block_q: int, top_k: int,
-                            n_obj: int):
+def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
+                            sw_ref, si_ref, *, block_m: int, block_q: int,
+                            top_k: int, n_obj: int):
     """Grid is (bank_block OUTER, query_tile INNER); see module docstring.
-    ``acc_ref`` is the whole-output fp32 scratch [n_obj, Np, CV]."""
+    ``acc_ref`` is the whole-output fp32 scratch [n_obj, Np, CV].
+
+    SORTED-SLOT build (r3): at j == 0 each tile's (weight, id) pairs are
+    re-sorted by ASCENDING token id into ``sw_ref``/``si_ref`` (exact —
+    ids are unique per query, so every contrib element receives exactly
+    one nonzero addend and reordering is bit-equal).  With sorted ids the
+    slots hitting a given bank block form a CONTIGUOUS range, and on
+    real banks (whose ids spread over every block — r3_realbank:
+    live_pair_frac=1.0, so the block-level skip never fires) that range
+    is a handful of slots wide.  Each live pair then builds its one-hot
+    contributions from one 16-slot dynamic window instead of all
+    ``top_k`` slots, with an exact full-build fallback when a tile's
+    range exceeds the window (wide spreads near tiny fills)."""
     j = pl.program_id(0)                    # bank block (outer)
     i = pl.program_id(1)                    # query tile (inner)
 
     vals = vals_ref[:]                      # [k, Qt] selection values (desc)
-    sel_idx = idx_ref[:]                    # [k, Qt] selected token ids
-    vmax = vals[0:1, :]                     # [1, Qt]
-    w = jnp.exp(vals - vmax)                # [k, Qt] fp32 softmax numerators
     nq = vals.shape[1]
     col = pl.ds(i * block_q, block_q)
+    win = min(16, top_k)
+    pad_k = sw_ref.shape[0]                 # top_k rounded up to 8 sublanes
+    big = jnp.int32(2 ** 30)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:, col, :] = jnp.zeros((n_obj, nq, mv_ref.shape[-1]),
                                        jnp.float32)
+        # id-ascending resort, once per tile: top_k min-id extractions
+        # over the [k, Qt] slot axis (ids unique -> no tie handling).
+        # Rows [top_k, pad_k) are inert sentinels (w=0, id=big) so the
+        # 8-aligned dynamic window below can cover the last real slots.
+        w = jnp.exp(vals - vals[0:1, :])    # [k, Qt] softmax numerators
+        rem = idx_ref[:]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (top_k, nq), 0)
+        for t in range(top_k):
+            am = jnp.argmin(rem, axis=0)               # [Qt]
+            hit = slot == am[None, :]                  # [k, Qt]
+            si_ref[t, col] = jnp.min(rem, axis=0)
+            sw_ref[t, col] = jnp.sum(jnp.where(hit, w, 0.0), axis=0)
+            rem = jnp.where(hit, big, rem)
+        for t in range(top_k, pad_k):
+            si_ref[t, col] = jnp.full((nq,), big, jnp.int32)
+            sw_ref[t, col] = jnp.zeros((nq,), jnp.float32)
 
     # block skip from the SELECTED ids: only blocks containing at least one
     # selected token for some query in this tile contribute
     lo = j * block_m
-    in_block = (sel_idx >= lo) & (sel_idx < lo + block_m)
+    si = si_ref[:, col]                     # [k, Qt] ids, ascending per q
+    in_block = (si >= lo) & (si < lo + block_m)
     import os
     no_skip = bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))  # ablation
 
-    @pl.when(no_skip | jnp.any(in_block))
-    def _():
-        # scatter the selection's weights at its token ids: k broadcast
-        # compares against the block's token column — exact by
-        # construction, no score recompute
-        tok = lo + jax.lax.broadcasted_iota(jnp.int32, (block_m, nq), 0)
-        contrib = jnp.zeros((block_m, nq), jnp.float32)
-        for t in range(top_k):              # static unroll
-            hit = sel_idx[t:t + 1, :] == tok          # [Bm, Qt]
-            contrib = contrib + jnp.where(hit, w[t:t + 1, :], 0.0)
+    # contiguous active-slot range for this (block, tile)
+    hits = jnp.any(in_block, axis=1)                   # [pad_k]
+    trange = jax.lax.broadcasted_iota(jnp.int32, (pad_k,), 0)
+    lo_t = jnp.min(jnp.where(hits, trange, pad_k))
+    hi_t = jnp.max(jnp.where(hits, trange, -1))
+    # 8-aligned window start (sublane-dim dynamic slices want alignment);
+    # the sentinel rows let the window run past top_k up to pad_k
+    base = jnp.minimum(lo_t & ~7, max(0, pad_k - win))
+    fits = (hi_t - base) < win
 
+    def _mm(contrib):
         for o in range(n_obj):              # static K loop, contrib shared
             # matmul in the value bank's NATIVE dtype with fp32 accumulate:
             # fp32 banks keep the full-precision pass (test oracle at 1e-5);
@@ -117,12 +146,42 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref, *,
                 preferred_element_type=jnp.float32,
                 precision=prec)                        # [Qt, CV]
 
+    tok = lo + jax.lax.broadcasted_iota(jnp.int32, (block_m, nq), 0)
+    any_hit = jnp.any(in_block)
+
+    def _full_build():
+        # exact full top_k-pass build (the fallback for a tile whose
+        # active range exceeds the window, and the no-skip ablation)
+        contrib = jnp.zeros((block_m, nq), jnp.float32)
+        for t in range(top_k):              # static unroll
+            hit = si_ref[t:t + 1, col] == tok          # [Bm, Qt]
+            contrib = contrib + jnp.where(hit, sw_ref[t:t + 1, col], 0.0)
+        _mm(contrib)
+
+    if no_skip:                             # static python branch
+        _full_build()
+    else:
+        @pl.when(any_hit & fits)
+        def _():
+            # windowed build: active slots all lie in [base, base + win)
+            sw_win = sw_ref[pl.ds(base, win), col]     # [win, Qt]
+            si_win = si_ref[pl.ds(base, win), col]
+            contrib = jnp.zeros((block_m, nq), jnp.float32)
+            for t in range(win):            # static unroll
+                hit = si_win[t:t + 1, :] == tok        # [Bm, Qt]
+                contrib = contrib + jnp.where(hit, sw_win[t:t + 1, :], 0.0)
+            _mm(contrib)
+
+        @pl.when(any_hit & ~fits)
+        def _():
+            _full_build()
+
     # normalize on the last bank block: z from the selection values —
     # identical math to the XLA oracle's w = exp(v - v0) / sum.  The
     # output block is only meaningful at j == last; earlier steps write
     # the (unnormalized) running scratch, each overwritten by the next
     # revisit — no cross-step READS of the output remain.
-    z = jnp.sum(w, axis=0)                             # [Qt]
+    z = jnp.sum(jnp.exp(vals - vals[0:1, :]), axis=0)  # [Qt]
     last = j == pl.num_programs(0) - 1
     acc = acc_ref[:, col, :]
     out_ref[:] = jnp.where(last, acc / z[None, :, None], acc)
@@ -389,7 +448,9 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
         out_specs=pl.BlockSpec((n_obj, block_q, cv), lambda j, i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_obj, np_, cv), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_obj, np_, cv), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_obj, np_, cv), jnp.float32),
+                        pltpu.VMEM((-(-top_k // 8) * 8, np_), jnp.float32),
+                        pltpu.VMEM((-(-top_k // 8) * 8, np_), jnp.int32)],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(mv_p, vals_t, idx_t)

@@ -110,13 +110,22 @@ def part_banks():
 
 
 def load_bank(nrounds):
+    import ml_dtypes
+
     d = np.load(BANKS.format(nrounds))
+    # np.savez stores bf16 as raw void ("|V2"); view restores the dtype
     bank_k, bank_v, cc = d["bank_k"], d["bank_v"], int(d["cc"])
+    if bank_k.dtype.kind == "V":
+        bank_k = bank_k.view(ml_dtypes.bfloat16)
+        bank_v = bank_v.view(ml_dtypes.bfloat16)
     mmax, hw, ck = bank_k.shape
     cv = bank_v.shape[-1]
     mk = jnp.asarray(bank_k.reshape(mmax * hw, ck))
     mv = jnp.asarray(bank_v.reshape(1, mmax * hw, cv))
-    qk = jnp.asarray(np.load("/tmp/realbank_qk.npz")["qk"])
+    qk_np = np.load("/tmp/realbank_qk.npz")["qk"]
+    if qk_np.dtype.kind == "V":
+        qk_np = qk_np.view(ml_dtypes.bfloat16)
+    qk = jnp.asarray(qk_np)
     return mk, mv, qk, jnp.asarray(cc * hw, jnp.int32)
 
 
