@@ -93,16 +93,17 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
         acc_ref[:, col, :] = jnp.zeros((n_obj, nq, mv_ref.shape[-1]),
                                        jnp.float32)
         # id-ascending resort, once per tile: top_k min-id extractions
-        # over the [k, Qt] slot axis (ids unique -> no tie handling).
+        # over the [k, Qt] slot axis.  Ids are UNIQUE per query, so the
+        # min row is identified by equality — no argmin (Mosaic lowers
+        # int32 min reductions but rejects int32 argmin on TPU).
         # Rows [top_k, pad_k) are inert sentinels (w=0, id=big) so the
         # 8-aligned dynamic window below can cover the last real slots.
         w = jnp.exp(vals - vals[0:1, :])    # [k, Qt] softmax numerators
         rem = idx_ref[:]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (top_k, nq), 0)
         for t in range(top_k):
-            am = jnp.argmin(rem, axis=0)               # [Qt]
-            hit = slot == am[None, :]                  # [k, Qt]
-            si_ref[t, col] = jnp.min(rem, axis=0)
+            minv = jnp.min(rem, axis=0)                # [Qt]
+            hit = rem == minv[None, :]                 # [k, Qt] exactly one
+            si_ref[t, col] = minv
             sw_ref[t, col] = jnp.sum(jnp.where(hit, w, 0.0), axis=0)
             rem = jnp.where(hit, big, rem)
         for t in range(top_k, pad_k):
@@ -122,9 +123,10 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
     trange = jax.lax.broadcasted_iota(jnp.int32, (pad_k,), 0)
     lo_t = jnp.min(jnp.where(hits, trange, pad_k))
     hi_t = jnp.max(jnp.where(hits, trange, -1))
-    # 8-aligned window start (sublane-dim dynamic slices want alignment);
+    # 8-aligned window start (sublane-dim dynamic slices want alignment) —
+    # written as 8 * (...) so Mosaic can statically prove the alignment;
     # the sentinel rows let the window run past top_k up to pad_k
-    base = jnp.minimum(lo_t & ~7, max(0, pad_k - win))
+    base = 8 * jnp.minimum(lo_t // 8, max(0, (pad_k - win) // 8))
     fits = (hi_t - base) < win
 
     def _mm(contrib):

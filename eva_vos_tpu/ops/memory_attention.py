@@ -151,8 +151,9 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
         # env-overridable for ablation
         sel_bq = int(os.environ.get("EVAVOS_SEL_BQ", "0")) or None
         sel_bm = int(os.environ.get("EVAVOS_SEL_BM", "0")) or None
+        ro_bq = int(os.environ.get("EVAVOS_RO_BQ", "0")) or 128
         return pallas_fused_readout(
-            mk, qk, mv, top_k, valid_tokens,
+            mk, qk, mv, top_k, valid_tokens, block_q=ro_bq,
             block_m=min(pallas_block_m, max(mk.shape[0], 128)),
             sel_block_q=sel_bq, sel_block_m=sel_bm)
     if strategy == "pallas":

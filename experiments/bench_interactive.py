@@ -80,6 +80,12 @@ def main(t=60, h=480, w=854, rounds=10, max_interactions=60,
 
 
 if __name__ == "__main__":
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    main(strategy=pos[0] if pos else "auto",
-         no_fusion="--no-fusion" in sys.argv)
+    args = sys.argv[1:]
+    rounds = 10
+    if "--rounds" in args:
+        i = args.index("--rounds")
+        rounds = int(args[i + 1])
+        del args[i:i + 2]
+    pos = [a for a in args if not a.startswith("--")]
+    main(rounds=rounds, strategy=pos[0] if pos else "auto",
+         no_fusion="--no-fusion" in args)

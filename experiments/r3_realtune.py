@@ -55,6 +55,28 @@ def timed(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def timed_chain(fn, qk, valid, iters=20):
+    """Chained timing: each iteration's query input carries a zero-valued
+    data dependency on the previous iteration's output, so executions
+    serialize on-device.  The tunneled TPU reports impossible times for
+    unchained same-input loops (0.03 ms for multi-ms kernels — its
+    completion signaling batches); the chain forces honest latencies."""
+    out = fn(qk, valid)
+    jax.block_until_ready(out)
+
+    def dep(o):
+        leaf = o[0] if isinstance(o, tuple) else o
+        return (leaf.reshape(-1)[0] * 0).astype(qk.dtype)
+
+    t0 = time.perf_counter()
+    q = qk
+    for _ in range(iters):
+        out = fn(q, valid)
+        q = qk + dep(out)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def build_engine():
     from eva_vos_tpu.models import PropagationNetwork, FusionNet
     from eva_vos_tpu.engine import InferenceEngine
@@ -133,7 +155,8 @@ def part_sweep():
     """Config OUTER, fills inner, jax.clear_caches() between configs: the
     tournament env knobs are read at trace time inside a jitted function,
     so without a cache clear every config after the first would silently
-    re-measure the first config's kernel."""
+    re-measure the first config's kernel.  All timings use timed_chain
+    (the unchained loop reports impossible times on the tunneled TPU)."""
     from eva_vos_tpu.kernels.memory_topk import pallas_memory_topk
     from eva_vos_tpu.kernels.memory_readout import pallas_fused_readout
 
@@ -146,76 +169,91 @@ def part_sweep():
     banks = {n: load_bank(n) for n in FILLS}
     res = {n: {} for n in FILLS}
 
-    # selection geometry x tournament params
-    geoms = ((512, 1024), (1024, 1024), (512, 2048), (1024, 2048),
-             (256, 1024), (512, 512))
-    params = ((6, 0), (4, 0), (8, 0), (6, 16), (6, 64))
-    for bq, bm in geoms:
-        for rounds, group in params:
+    def run_sel(key, method, bq, bm, rounds=None, group=None):
+        if rounds:
             os.environ["EVAVOS_TOUR_ROUNDS"] = str(rounds)
-            if group:
-                os.environ["EVAVOS_TOUR_GROUP"] = str(group)
-            else:
-                os.environ.pop("EVAVOS_TOUR_GROUP", None)
-            jax.clear_caches()
-            key = f"sel_q{bq}_m{bm}_r{rounds}_g{group or 'def'}"
-            for nrounds in FILLS:
-                mk, mv, qk, valid = banks[nrounds]
-
-                def sel(q, v):
-                    return pallas_memory_topk(mk, q, top_k, v, block_q=bq,
-                                              block_m=bm, method="tournament")
-                try:
-                    res[nrounds][key] = round(
-                        timed(sel, qk, valid, iters=10) * 1e3, 3)
-                except Exception as e:
-                    res[nrounds][key] = f"{type(e).__name__}"[:40]
-                save(f"sweep_{nrounds}", res[nrounds])
-    # resident-bank variants: no per-block extraction (ONE extraction over
-    # the candidate scratch) — lost 2x on synthetic clustered banks where
-    # the tournament's tau-skip fires, but real banks are unskippable
-    # (live_pair_frac=1.0), which may flip the comparison
-    # g*rounds must cover pad_k=56 (an escalated block writes its exact
-    # top-pad_k into its candidate slice)
-    for bm, group, rounds in ((1024, 128, 8), (1024, 64, 4), (1024, 32, 2),
-                              (1024, 32, 4), (2048, 64, 4), (1024, 64, 8)):
-        os.environ["EVAVOS_TOUR_ROUNDS"] = str(rounds)
-        os.environ["EVAVOS_TOUR_GROUP"] = str(group)
+        else:
+            os.environ.pop("EVAVOS_TOUR_ROUNDS", None)
+        if group:
+            os.environ["EVAVOS_TOUR_GROUP"] = str(group)
+        else:
+            os.environ.pop("EVAVOS_TOUR_GROUP", None)
         jax.clear_caches()
-        key = f"res_m{bm}_g{group}_r{rounds}"
         for nrounds in FILLS:
             mk, mv, qk, valid = banks[nrounds]
 
             def sel(q, v):
-                return pallas_memory_topk(mk, q, top_k, v, block_q=512,
-                                          block_m=bm, method="resident")
+                return pallas_memory_topk(mk, q, top_k, v, block_q=bq,
+                                          block_m=bm, method=method)
             try:
                 res[nrounds][key] = round(
-                    timed(sel, qk, valid, iters=10) * 1e3, 3)
+                    timed_chain(sel, qk, valid, iters=10) * 1e3, 3)
             except Exception as e:
                 res[nrounds][key] = f"{type(e).__name__}: {e}"[:60]
             save(f"sweep_{nrounds}", res[nrounds])
+
+    # anchor: the unchained harness on the default config, to quantify the
+    # measurement artifact against r3_batch2's numbers
+    jax.clear_caches()
+    for nrounds in FILLS:
+        mk, mv, qk, valid = banks[nrounds]
+
+        def sel(q, v):
+            return pallas_memory_topk(mk, q, top_k, v, block_q=512,
+                                      block_m=1024, method="tournament")
+        res[nrounds]["anchor_unchained_r6"] = round(
+            timed(sel, qk, valid, iters=10) * 1e3, 3)
+        save(f"sweep_{nrounds}", res[nrounds])
+
+    run_sel("sel_t_r6_gdef", "tournament", 512, 1024)  # production default
+    run_sel("sel_t_r4_gdef", "tournament", 512, 1024, rounds=4)
+    run_sel("sel_t_r8_gdef", "tournament", 512, 1024, rounds=8)
+    run_sel("sel_t_r6_g64", "tournament", 512, 1024, rounds=6, group=64)
+    run_sel("sel_t_r6_g256", "tournament", 512, 1024, rounds=6, group=256)
+    run_sel("sel_t_q256", "tournament", 256, 1024)
+    run_sel("sel_grid", "grid", 512, 1024)
+    run_sel("sel_chunked", "chunked", 512, 1024)
+    # resident: ONE extraction over the candidate scratch — the design
+    # that removes the per-block serial extraction; g*rounds must cover
+    # pad_k=56 (an escalated block writes its exact top-pad_k into its
+    # candidate slice)
+    run_sel("res_g128_r8", "resident", 512, 1024, rounds=8, group=128)
+    run_sel("res_g64_r4", "resident", 512, 1024, rounds=4, group=64)
+    run_sel("res_g32_r2", "resident", 512, 1024, rounds=2, group=32)
+    run_sel("res_g64_r8", "resident", 512, 1024, rounds=8, group=64)
 
     os.environ.pop("EVAVOS_TOUR_ROUNDS", None)
     os.environ.pop("EVAVOS_TOUR_GROUP", None)
     jax.clear_caches()
 
-    # readout granularity (selection fixed at production defaults);
-    # readout_block_m is a real argument, no cache clear needed
-    for rbm in (4096, 2048, 1024, 8192):
+    # fused readout: new sorted-slot kernel (default), no-skip ablation,
+    # chunked variant, and block granularity
+    def run_fused(key, rbm=None, env=None):
+        if env:
+            os.environ[env] = "1"
+        jax.clear_caches()
         for nrounds in FILLS:
             mk, mv, qk, valid = banks[nrounds]
 
             def fused(q, v):
-                return pallas_fused_readout(mk, q, mv, top_k, v,
-                                            readout_block_m=rbm)
-            key = f"fused_rbm{rbm}"
+                kw = {"readout_block_m": rbm} if rbm else {}
+                return pallas_fused_readout(mk, q, mv, top_k, v, **kw)
             try:
                 res[nrounds][key] = round(
-                    timed(fused, qk, valid, iters=10) * 1e3, 3)
+                    timed_chain(fused, qk, valid, iters=10) * 1e3, 3)
             except Exception as e:
-                res[nrounds][key] = f"{type(e).__name__}"[:40]
+                res[nrounds][key] = f"{type(e).__name__}: {e}"[:60]
             save(f"sweep_{nrounds}", res[nrounds])
+        if env:
+            os.environ.pop(env, None)
+
+    run_fused("fused_sorted_default")
+    run_fused("fused_noskip", env="EVAVOS_READOUT_NOSKIP")
+    run_fused("fused_rbm2048", rbm=2048)
+    run_fused("fused_rbm1024", rbm=1024)
+    os.environ["EVAVOS_READOUT_METHOD"] = "chunked"
+    run_fused("fused_chunked_ro")
+    os.environ.pop("EVAVOS_READOUT_METHOD", None)
 
 
 def part_glue():
