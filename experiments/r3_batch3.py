@@ -23,9 +23,11 @@ OUT = ROOT / "experiments" / "r3_batch3.json"
 CONFIGS = {
     # name -> (env overrides, extra argv)
     "baseline": ({}, []),
-    "tg256": ({"EVAVOS_TOUR_GROUP": "256"}, []),
+    # NOTE: group=256 shrinks g to block_m/256, which balloons the default
+    # rounds formula (max(6, ceil(top_k/g))) — always pin rounds with it
+    "tg256r6": ({"EVAVOS_TOUR_GROUP": "256", "EVAVOS_TOUR_ROUNDS": "6"}, []),
     "tr4": ({"EVAVOS_TOUR_ROUNDS": "4"}, []),
-    "tg256_tr4": ({"EVAVOS_TOUR_GROUP": "256", "EVAVOS_TOUR_ROUNDS": "4"}, []),
+    "tg256r8": ({"EVAVOS_TOUR_GROUP": "256", "EVAVOS_TOUR_ROUNDS": "8"}, []),
     "ro_bq256": ({"EVAVOS_RO_BQ": "256", "EVAVOS_SKIP_VALIDATE": "1"}, []),
     "ro_bq512": ({"EVAVOS_RO_BQ": "512", "EVAVOS_SKIP_VALIDATE": "1"}, []),
     "sel_q512m2048": ({"EVAVOS_SEL_BM": "2048",

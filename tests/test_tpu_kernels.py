@@ -135,3 +135,24 @@ def test_fused_readout_matches_gather(data, slots):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)  # bf16 accumulation
+
+
+@pytest.mark.parametrize("slots", [2, 24])
+def test_fused_readout_production_topk(data, slots):
+    """top_k=50 (production): pad_k=56 exercises the 8-aligned dynamic
+    window start, the sentinel rows past top_k, and the full-build
+    fallback for wide id spreads — the exact paths whose Mosaic lowering
+    broke in r3 (int32 argmin; unprovable window alignment) while the
+    top_k=20 case and the interpret suite stayed green."""
+    from eva_vos_tpu.kernels.memory_readout import pallas_fused_readout
+    from eva_vos_tpu.ops.memory_attention import memory_readout
+
+    mk, qk, mv = data
+    valid = slots * HW
+    out = pallas_fused_readout(mk, qk, mv, 50, valid, block_q=128,
+                               block_m=2048)
+    ref = memory_readout(mk, qk, mv, top_k=50, valid_tokens=valid,
+                         strategy="gather")
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
