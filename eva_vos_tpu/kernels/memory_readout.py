@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +85,12 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
     vals = vals_ref[:]                      # [k, Qt] selection values (desc)
     nq = vals.shape[1]
     col = pl.ds(i * block_q, block_q)
-    win = min(16, top_k)
+
+    # window width: larger windows fit more (block, tile) pairs at mid
+    # fills (fewer 50-pass full-build fallbacks) at the cost of more
+    # passes when they do fit; 8-multiple keeps the dynamic slice aligned
+    win = min(int(os.environ.get("EVAVOS_RO_WIN", "16")), top_k)
+    win = max(8, win - win % 8)
     pad_k = sw_ref.shape[0]                 # top_k rounded up to 8 sublanes
     big = jnp.int32(2 ** 30)
 
@@ -115,7 +121,6 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
     lo = j * block_m
     si = si_ref[:, col]                     # [k, Qt] ids, ascending per q
     in_block = (si >= lo) & (si < lo + block_m)
-    import os
     no_skip = bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))  # ablation
 
     # contiguous active-slot range for this (block, tile)
@@ -213,8 +218,6 @@ def _scatter_readout_kernel_chunked(mv_ref, vals_ref, idx_ref, out_ref,
     @pl.when(j == 0)
     def _():
         acc_ref[:, col, :] = jnp.zeros((n_obj, nq, cv), jnp.float32)
-
-    import os
 
     no_skip = bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))  # ablation
     n_sub = super_m // block_m
@@ -353,8 +356,6 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     # serializes DMA and compute without the grid's double-buffering.
     # The chunked and resident variants remain via EVAVOS_SEL_METHOD as
     # ablations.
-    import os
-
     sel = os.environ.get("EVAVOS_SEL_METHOD", "tournament")
     select = {"resident": resident_topk_t, "tournament": tournament_topk_t,
               "chunked": chunked_topk_t}.get(sel, tournament_topk_t)

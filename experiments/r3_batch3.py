@@ -47,7 +47,10 @@ def save(res):
 def run_one(name, env_over, argv, rounds):
     env = dict(os.environ)
     env.update(env_over)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/evavos_jit_cache")
+    # NOTE: do NOT set JAX_COMPILATION_CACHE_DIR here — the client-side
+    # persistent cache stalled the axon remote-compile flow (a run that
+    # normally reaches round 1 in ~4 min sat >14 min without the strategy
+    # print); the remote terminal keeps its own compile cache anyway.
     log = ROOT / "experiments" / f"r3_b3_{name}_r{rounds}.log"
     cmd = [sys.executable, str(ROOT / "experiments" / "bench_interactive.py"),
            "--rounds", str(rounds)] + argv
