@@ -502,13 +502,16 @@ def run(quick: bool = False):
     if not quick:
         # aggregate MFU from XLA's own FLOP count of the compiled interact
         # (the .lower().compile() hits the persistent cache enabled above)
-        peak, kind = device_peak_flops()
-        flops = executable_flops(engine._interact_jit, state0, feats, m0,
-                                 jnp.asarray(0, jnp.int32))
-        if flops and peak:
-            result["mfu"] = round(flops * iters / elapsed / peak, 4)
-            result["interact_tflops"] = round(flops / 1e12, 3)
-            result["device"] = kind
+        try:
+            peak, kind = device_peak_flops()
+            flops = executable_flops(engine._interact_jit, state0, feats, m0,
+                                     jnp.asarray(0, jnp.int32))
+            if flops and peak:
+                result["mfu"] = round(flops * iters / elapsed / peak, 4)
+                result["interact_tflops"] = round(flops / 1e12, 3)
+                result["device"] = kind
+        except Exception as e:  # accounting must never sink the headline
+            print(f"[bench] mfu accounting skipped: {e!r}", file=sys.stderr)
 
     if not quick:
         # interactive big-bank session (the regime EVA-VOS actually runs):
@@ -517,43 +520,64 @@ def run(quick: bool = False):
         rounds = 10
         order = [0, t - 1] + list(range(2, t - 1,
                                         max(1, t // rounds)))[:rounds - 2]
-        state = engine.init_state(feats, 1)
-        interacted = set()
-        total_frames = 0
-        tstart = None
-        # device-resident masks: per-round host->device mask uploads are
-        # not part of the propagation work being measured (real sessions
-        # produce SAM masks on device)
-        masks_dev = pad_mask(masks.astype(np.float32), pad)
-        jax.block_until_ready(masks_dev)
-        tail_frames = tail_time = 0.0
-        for r, idx in enumerate(order[:rounds]):
-            fwd = min((i for i in interacted if i > idx), default=t)
-            bwd = max((i for i in interacted if i < idx), default=-1)
-            n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
-            interacted.add(idx)
-            m = masks_dev[:, idx]
-            rt0 = time.perf_counter()
-            state = engine.interact(state, feats, m, idx, donate=True)
-            jax.block_until_ready(state.prob)
-            if r == 0:
-                tstart = time.perf_counter()
-            else:
-                total_frames += n_frames
-                if r >= rounds // 2:
-                    tail_frames += n_frames
-                    tail_time += time.perf_counter() - rt0
-        ielapsed = time.perf_counter() - tstart
-        result["interactive_fps_72slot_honest"] = round(
-            total_frames / ielapsed, 2)
-        result["interactive_rounds_per_sec"] = round(
-            (rounds - 1) / ielapsed, 3)
-        if tail_time:
-            # steady-state: the session's second half (warmer bank, fewer
-            # frames per round — the regime where fixed per-round cost and
-            # bank-fill-dependent selection show up)
-            result["interactive_tail_fps_honest"] = round(
-                tail_frames / tail_time, 2)
+        try:
+            state = engine.init_state(feats, 1)
+            interacted = set()
+            total_frames = 0
+            tstart = None
+            # device-resident masks: per-round host->device mask uploads
+            # are not part of the propagation work being measured (real
+            # sessions produce SAM masks on device)
+            masks_dev = pad_mask(masks.astype(np.float32), pad)
+            jax.block_until_ready(masks_dev)
+            tail_frames = tail_time = 0.0
+            for r, idx in enumerate(order[:rounds]):
+                fwd = min((i for i in interacted if i > idx), default=t)
+                bwd = max((i for i in interacted if i < idx), default=-1)
+                n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
+                interacted.add(idx)
+                m = masks_dev[:, idx]
+                rt0 = time.perf_counter()
+                for attempt in range(3):
+                    # the donated interact is a distinct executable; its
+                    # first call can hit the same transient tunnel-compile
+                    # failures as the headline (r3_engine_bisect logs)
+                    try:
+                        state2 = engine.interact(state, feats, m, idx,
+                                                 donate=True)
+                        jax.block_until_ready(state2.prob)
+                        state = state2
+                        break
+                    except Exception as e:
+                        if r > 0 or attempt == 2 or \
+                                "remote_compile" not in str(e):
+                            raise
+                        print(f"[bench] interactive compile attempt "
+                              f"{attempt + 1} failed (transient); retrying",
+                              file=sys.stderr)
+                        time.sleep(20)
+                        rt0 = time.perf_counter()
+                if r == 0:
+                    tstart = time.perf_counter()
+                else:
+                    total_frames += n_frames
+                    if r >= rounds // 2:
+                        tail_frames += n_frames
+                        tail_time += time.perf_counter() - rt0
+            ielapsed = time.perf_counter() - tstart
+            result["interactive_fps_72slot_honest"] = round(
+                total_frames / ielapsed, 2)
+            result["interactive_rounds_per_sec"] = round(
+                (rounds - 1) / ielapsed, 3)
+            if tail_time:
+                # steady-state: the session's second half (warmer bank,
+                # fewer frames per round — the regime where fixed per-round
+                # cost and bank-fill-dependent selection show up)
+                result["interactive_tail_fps_honest"] = round(
+                    tail_frames / tail_time, 2)
+        except Exception as e:  # never sink the already-computed headline
+            print(f"[bench] interactive session skipped: {e!r}",
+                  file=sys.stderr)
 
         # production-geometry quality: same fitted weights through the
         # torch reference (CPU fp32) and this engine (bf16 + production
