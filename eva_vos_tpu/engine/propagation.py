@@ -90,6 +90,10 @@ class EngineConfig(NamedTuple):
     #   numerically equivalent, faster on TPU where the 32-channel convs
     #   starve the MXU ('on' = 2x2 -> 128-ch convs, 'x4' = 4x4 -> 512-ch);
     #   'auto' resolves to $EVAVOS_FUSION_PACK (default 'on') off-CPU
+    kernels: object = None       # kernels.config.KernelConfig carrying the
+    #   pallas selection/readout knobs as jit-cache-correct static values;
+    #   None -> KernelConfig.from_env() snapshotted ONCE at engine
+    #   construction (env knobs are construction-time, not call-time)
 
 
 class InferenceEngine:
@@ -124,6 +128,10 @@ class InferenceEngine:
             config = config._replace(
                 fusion_packed=packed if jax.default_backend() != "cpu"
                 else "off")
+        if config.kernels is None:
+            from ..kernels.config import KernelConfig
+
+            config = config._replace(kernels=KernelConfig.from_env())
         self.config = config
         self.mesh = mesh
         self.mesh_axis = mesh_axis
@@ -157,7 +165,8 @@ class InferenceEngine:
                 axis=self.mesh_axis, valid_tokens=valid_tokens)
         return memory_readout(mk, qk, mv, top_k=top_k,
                               valid_tokens=valid_tokens,
-                              strategy=self.config.readout_strategy)
+                              strategy=self.config.readout_strategy,
+                              kernel_cfg=self.config.kernels)
 
     # ------------------------------------------------------------------
     # feature precompute

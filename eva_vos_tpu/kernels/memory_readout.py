@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +63,8 @@ NEG_INF = -1e30
 
 def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
                             sw_ref, si_ref, *, block_m: int, block_q: int,
-                            top_k: int, n_obj: int):
+                            top_k: int, n_obj: int, ro_win: int = 16,
+                            no_skip: bool = False):
     """Grid is (bank_block OUTER, query_tile INNER); see module docstring.
     ``acc_ref`` is the whole-output fp32 scratch [n_obj, Np, CV].
 
@@ -89,7 +89,7 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
     # window width: larger windows fit more (block, tile) pairs at mid
     # fills (fewer 50-pass full-build fallbacks) at the cost of more
     # passes when they do fit; 8-multiple keeps the dynamic slice aligned
-    win = min(int(os.environ.get("EVAVOS_RO_WIN", "16")), top_k)
+    win = min(ro_win, top_k)
     win = max(8, win - win % 8)
     pad_k = sw_ref.shape[0]                 # top_k rounded up to 8 sublanes
     big = jnp.int32(2 ** 30)
@@ -121,7 +121,6 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
     lo = j * block_m
     si = si_ref[:, col]                     # [k, Qt] ids, ascending per q
     in_block = (si >= lo) & (si < lo + block_m)
-    no_skip = bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))  # ablation
 
     # contiguous active-slot range for this (block, tile)
     hits = jnp.any(in_block, axis=1)                   # [pad_k]
@@ -196,7 +195,8 @@ def _scatter_readout_kernel(mv_ref, vals_ref, idx_ref, out_ref, acc_ref,
 
 def _scatter_readout_kernel_chunked(mv_ref, vals_ref, idx_ref, out_ref,
                                     acc_ref, *, block_m: int, super_m: int,
-                                    block_q: int, top_k: int, n_obj: int):
+                                    block_q: int, top_k: int, n_obj: int,
+                                    no_skip: bool = False):
     """Chunked variant of ``_scatter_readout_kernel``: the memory-axis grid
     step DMAs a ``super_m``-token value SUPERBLOCK and an in-kernel loop
     walks its ``block_m`` sub-chunks, skipping each one unless some
@@ -219,7 +219,6 @@ def _scatter_readout_kernel_chunked(mv_ref, vals_ref, idx_ref, out_ref,
     def _():
         acc_ref[:, col, :] = jnp.zeros((n_obj, nq, cv), jnp.float32)
 
-    no_skip = bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))  # ablation
     n_sub = super_m // block_m
     sb_base = j * super_m
 
@@ -259,13 +258,14 @@ def _scatter_readout_kernel_chunked(mv_ref, vals_ref, idx_ref, out_ref,
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "block_q", "block_m",
                                     "readout_block_m", "sel_block_q",
-                                    "sel_block_m", "interpret"))
+                                    "sel_block_m", "interpret", "kcfg"))
 def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
                          block_q: int = 128, block_m: int = 4096,
                          readout_block_m: int | None = None,
                          sel_block_q: int | None = None,
                          sel_block_m: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         kcfg=None):
     """Exact top-k attention readout, fully in two streaming kernels
     (tournament selection + index-scattered value sweep).
 
@@ -286,7 +286,17 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     128x4096 on v5e, r3_sel_geometry), while the readout's contrib/skip
     granularity has its own optimum.  Defaults fall back to
     ``block_q``/``block_m``.
+
+    ``kcfg``: an optional :class:`~eva_vos_tpu.kernels.config.KernelConfig`
+    carrying the remaining knobs (method choices, tournament params,
+    sorted-slot window, ablation flags) as a hashable static argument —
+    jit-cache-correct, unlike the EVAVOS_* env vars (which remain only as
+    process-start fallbacks for experiment scripts).
     """
+    from .config import KernelConfig, resolve
+
+    if kcfg is None:
+        kcfg = KernelConfig()
     n, ck = qk.shape
     m = mk.shape[0]
     n_obj, _, cv = mv.shape
@@ -354,14 +364,16 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     # per-block grid lets the running-tau skip drop a whole block's
     # compute, while the chunked kernel's in-kernel sub-block loop
     # serializes DMA and compute without the grid's double-buffering.
-    # The chunked and resident variants remain via EVAVOS_SEL_METHOD as
-    # ablations.
-    sel = os.environ.get("EVAVOS_SEL_METHOD", "tournament")
+    # The chunked and resident variants remain via KernelConfig.sel_method
+    # (or the EVAVOS_SEL_METHOD process-start env) as ablations.
+    sel = resolve(kcfg.sel_method, "EVAVOS_SEL_METHOD", "tournament")
     select = {"resident": resident_topk_t, "tournament": tournament_topk_t,
               "chunked": chunked_topk_t}.get(sel, tournament_topk_t)
     vals_t, idx_t = select(
         qk_p, mk_p, msq, valid, top_k=top_k, block_q=sel_block_q,
-        block_m=sel_block_m, scale=scale, interpret=interpret)
+        block_m=sel_block_m, scale=scale, interpret=interpret,
+        group=kcfg.tour_group, rounds=kcfg.tour_rounds,
+        no_skip=kcfg.sel_notau)
 
     rb = readout_block_m
     n_blocks = mp_ // rb
@@ -385,7 +397,10 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     # variant on clustered 72-slot banks (the ~12 us/grid-step scheduling
     # hypothesis behind the chunked design did not survive measurement —
     # the grid pipeline's DMA/compute overlap is worth more)
-    method = os.environ.get("EVAVOS_READOUT_METHOD", "grid")
+    method = resolve(kcfg.readout_method, "EVAVOS_READOUT_METHOD", "grid")
+    ro_win = resolve(kcfg.ro_win, "EVAVOS_RO_WIN", 16)
+    no_skip = bool(resolve(kcfg.readout_noskip, "EVAVOS_READOUT_NOSKIP",
+                           False))
     if method == "chunked":
         # superblock DMA + in-kernel sub-chunk loop (ablation): one DMA
         # per superblock, sub-chunk loop inside the kernel.  The
@@ -412,7 +427,7 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
         out = pl.pallas_call(
             functools.partial(_scatter_readout_kernel_chunked, block_m=rb,
                               super_m=rsuper, block_q=block_q, top_k=top_k,
-                              n_obj=n_obj),
+                              n_obj=n_obj, no_skip=no_skip),
             grid=(live_blocks(valid, rsuper, n_super, interpret),
                   np_ // block_q),
             in_specs=[
@@ -438,7 +453,8 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     # VMEM scratch (no output-revisit reads)
     out = pl.pallas_call(
         functools.partial(_scatter_readout_kernel, block_m=rb,
-                          block_q=block_q, top_k=top_k, n_obj=n_obj),
+                          block_q=block_q, top_k=top_k, n_obj=n_obj,
+                          ro_win=ro_win, no_skip=no_skip),
         grid=(live_blocks(valid, rb, n_blocks, interpret), np_ // block_q),
         in_specs=[
             pl.BlockSpec((n_obj, rb, cv), lambda j, i: (0, j, 0),

@@ -374,7 +374,8 @@ def _extract_topk_rows(scores, ids, k):
 
 def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
                        run_vals, run_idx, *, block_m: int, top_k: int,
-                       scale: float, rounds: int, group: int):
+                       scale: float, rounds: int, group: int,
+                       no_skip: bool = False):
     """Tournament variant: the per-block top-k extraction is the engine's
     VPU bottleneck (k sequential full-width max/argmax/mask passes — 85% of
     a blocked propagation step).  Everything runs TRANSPOSED — scores
@@ -428,8 +429,6 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         # Warm interactive banks skip most blocks at two VPU passes each
         # (compare + any) instead of the full tournament + extraction.
         tau_run = run_vals[top_k - 1:top_k, :]                # [1, Qt]
-        import os
-        no_skip = bool(os.environ.get("EVAVOS_SEL_NOTAU"))  # ablation
 
         @pl.when(no_skip | jnp.any(scores > tau_run))
         def _():
@@ -509,7 +508,8 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
 def _kernel_tournament_chunked(order_ref, qk_ref, mk_ref, msq_ref, valid_ref,
                                vals_ref, idx_ref, run_vals, run_idx, *,
                                block_m: int, super_m: int, top_k: int,
-                               scale: float, rounds: int, group: int):
+                               scale: float, rounds: int, group: int,
+                               no_skip: bool = False):
     """Chunked tournament: same selection math as ``_kernel_tournament``
     but the memory-axis grid step moves a SUPERBLOCK (``super_m`` tokens,
     one big pipelined DMA) and an in-kernel ``fori_loop`` walks its
@@ -543,9 +543,6 @@ def _kernel_tournament_chunked(order_ref, qk_ref, mk_ref, msq_ref, valid_ref,
     g = block_m // group
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    import os
-
-    no_skip = bool(os.environ.get("EVAVOS_SEL_NOTAU"))  # ablation
 
     @pl.when(j == 0)
     def _():
@@ -639,7 +636,8 @@ def _kernel_tournament_chunked(order_ref, qk_ref, mk_ref, msq_ref, valid_ref,
 
 def chunked_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
                    block_m: int, super_m: int = 16384, scale: float,
-                   interpret: bool = False):
+                   interpret: bool = False, group: int | None = None,
+                   rounds: int | None = None, no_skip: bool | None = None):
     """Chunked newest-first tournament selection on PRE-PADDED inputs; same
     contract as ``tournament_topk_t`` (TRANSPOSED outputs [top_k, Np]).
     ``block_m`` is the compute sub-block; ``super_m`` the per-grid-step DMA
@@ -664,18 +662,16 @@ def chunked_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
         msq = jnp.pad(msq, ((0, extra),))
         mp_ = mk_p.shape[0]
     n_super = mp_ // super_m
-    group = 128 if block_m % 128 == 0 else block_m
-    import os
+    from .config import resolve
 
-    if os.environ.get("EVAVOS_TOUR_GROUP"):
-        _genv = int(os.environ["EVAVOS_TOUR_GROUP"])
-        if block_m % _genv == 0:
-            group = _genv
+    genv = resolve(group, "EVAVOS_TOUR_GROUP", 0)
+    group = 128 if block_m % 128 == 0 else block_m
+    if genv and block_m % genv == 0:
+        group = genv
     g = block_m // group
     # r6 <= r8 at every measured fill (r3_tour_params); see tournament_topk_t
-    rounds = max(6, -(-top_k // g))
-    if os.environ.get("EVAVOS_TOUR_ROUNDS"):
-        rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
+    rounds = resolve(rounds, "EVAVOS_TOUR_ROUNDS", 0) or max(6, -(-top_k // g))
+    no_skip = bool(resolve(no_skip, "EVAVOS_SEL_NOTAU", False))
 
     live_sb = live_blocks(valid, super_m, n_super, interpret)
     if interpret:
@@ -686,7 +682,7 @@ def chunked_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     return pl.pallas_call(
         functools.partial(_kernel_tournament_chunked, block_m=block_m,
                           super_m=super_m, top_k=top_k, scale=scale,
-                          rounds=rounds, group=group),
+                          rounds=rounds, group=group, no_skip=no_skip),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(np_ // block_q, live_sb),
@@ -853,27 +849,28 @@ def resident_fits(m_padded: int, ck: int, itemsize: int, block_m: int,
 
 
 def resident_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
-                    block_m: int, scale: float, interpret: bool = False):
+                    block_m: int, scale: float, interpret: bool = False,
+                    group: int | None = None, rounds: int | None = None,
+                    no_skip: bool | None = None):
     """Resident-bank selection on PRE-PADDED inputs; same contract as
-    ``tournament_topk_t`` (TRANSPOSED outputs [top_k, Np])."""
+    ``tournament_topk_t`` (TRANSPOSED outputs [top_k, Np]).  ``no_skip``
+    is accepted for interface parity with the other selectors (the
+    resident kernel has no running-tau block skip to disable)."""
     np_, ck = qk_p.shape
     mp_ = mk_p.shape[0]
     n_blocks = mp_ // block_m
+    from .config import resolve
+
+    genv = resolve(group, "EVAVOS_TOUR_GROUP", 0)
     group = 128 if block_m % 128 == 0 else block_m
-    import os
-    if os.environ.get("EVAVOS_TOUR_GROUP"):
-        _genv = int(os.environ["EVAVOS_TOUR_GROUP"])
-        if block_m % _genv == 0:
-            group = _genv
+    if genv and block_m % genv == 0:
+        group = genv
     g = block_m // group
     # g*rounds >= pad_k so an escalated block's exact top-pad_k fits its
     # candidate slice (pad_k = top_k rounded up to the 8-sublane tile)
     pad_k = -(-top_k // 8) * 8
-    rounds = max(8, -(-top_k // g), -(-pad_k // g))
-    import os
-
-    if os.environ.get("EVAVOS_TOUR_ROUNDS"):
-        rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
+    rounds = (resolve(rounds, "EVAVOS_TOUR_ROUNDS", 0)
+              or max(8, -(-top_k // g), -(-pad_k // g)))
     cand_rows = n_blocks * g * rounds
     return pl.pallas_call(
         functools.partial(_kernel_resident, block_m=block_m, top_k=top_k,
@@ -925,7 +922,9 @@ def live_blocks(valid, block_m: int, n_blocks: int, interpret: bool):
 
 
 def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
-                      block_m: int, scale: float, interpret: bool = False):
+                      block_m: int, scale: float, interpret: bool = False,
+                      group: int | None = None, rounds: int | None = None,
+                      no_skip: bool | None = None):
     """Tournament selection on PRE-PADDED inputs; returns TRANSPOSED
     (vals [top_k, Np], idx [top_k, Np]).  Shared by ``pallas_memory_topk``
     (which transposes back) and the fused gated readout (which consumes the
@@ -938,12 +937,12 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     if not interpret:
         validate_block_geometry(block_q=block_q, block_m=block_m, ck=ck,
                                 top_k=top_k, kernel="selection")
+    from .config import resolve
+
+    genv = resolve(group, "EVAVOS_TOUR_GROUP", 0)
     group = 128 if block_m % 128 == 0 else block_m
-    import os
-    if os.environ.get("EVAVOS_TOUR_GROUP"):
-        _genv = int(os.environ["EVAVOS_TOUR_GROUP"])
-        if block_m % _genv == 0:
-            group = _genv
+    if genv and block_m % genv == 0:
+        group = genv
     g = block_m // group
     # R=6: escalation is all-or-nothing per query tile, so its frequency
     # is set by the WORST query's densest group; 6 rounds keep group
@@ -951,14 +950,12 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     # shaving pass cost — the r3_tour_params sweep measured r6 <= r8 at
     # every fill on both clustered and random banks, with a cliff only at
     # r4.  verify/escalate keeps exactness regardless.
-    rounds = max(6, -(-top_k // g))
-    import os
-    if os.environ.get("EVAVOS_TOUR_ROUNDS"):
-        rounds = int(os.environ["EVAVOS_TOUR_ROUNDS"])
+    rounds = resolve(rounds, "EVAVOS_TOUR_ROUNDS", 0) or max(6, -(-top_k // g))
+    no_skip = bool(resolve(no_skip, "EVAVOS_SEL_NOTAU", False))
     return pl.pallas_call(
         functools.partial(_kernel_tournament, block_m=block_m,
                           top_k=top_k, scale=scale,
-                          rounds=rounds, group=group),
+                          rounds=rounds, group=group, no_skip=no_skip),
         grid=(np_ // block_q,
               live_blocks(valid, block_m, n_blocks, interpret)),
         in_specs=[

@@ -125,9 +125,11 @@ def memory_affinity_topk(mk, qk, top_k: int, valid_tokens=None,
     return w, idx
 
 
-@partial(jax.jit, static_argnames=("top_k", "strategy", "pallas_block_m"))
+@partial(jax.jit, static_argnames=("top_k", "strategy", "pallas_block_m",
+                                   "kernel_cfg"))
 def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
-                   strategy: str = "gather", pallas_block_m: int = 4096):
+                   strategy: str = "gather", pallas_block_m: int = 4096,
+                   kernel_cfg=None):
     """Full top-k attention readout.
 
     mk: [M, CK] memory keys
@@ -138,24 +140,26 @@ def memory_readout(mk, qk, mv, top_k: int = 50, valid_tokens=None,
     or 'pallas_fused' (streaming selection + threshold-gated streaming
     readout — the fast TPU path: no index gather, no [N, M] densify;
     one MXU matmul per memory block).
+    ``kernel_cfg``: optional :class:`~eva_vos_tpu.kernels.config.KernelConfig`
+    — the jit-cache-correct carrier for the pallas knobs (the EVAVOS_* env
+    vars remain process-start fallbacks only).
     Returns [K, N, CV] in mv.dtype.
     """
     if strategy == "pallas_fused":
-        import os
-
+        from ..kernels.config import KernelConfig, resolve
         from ..kernels.memory_readout import pallas_fused_readout
 
+        kcfg = kernel_cfg if kernel_cfg is not None else KernelConfig()
         # selection tile geometry: the tournament is VPU-latency bound and
         # wants fat query tiles (512x1024 measured ~2x faster than the
-        # 128x4096 readout tiling on v5e, experiments/r3_sel_geometry) —
-        # env-overridable for ablation
-        sel_bq = int(os.environ.get("EVAVOS_SEL_BQ", "0")) or None
-        sel_bm = int(os.environ.get("EVAVOS_SEL_BM", "0")) or None
-        ro_bq = int(os.environ.get("EVAVOS_RO_BQ", "0")) or 128
+        # 128x4096 readout tiling on v5e, experiments/r3_sel_geometry)
+        sel_bq = resolve(kcfg.sel_block_q, "EVAVOS_SEL_BQ", 0) or None
+        sel_bm = resolve(kcfg.sel_block_m, "EVAVOS_SEL_BM", 0) or None
+        ro_bq = resolve(kcfg.ro_block_q, "EVAVOS_RO_BQ", 0) or 128
         return pallas_fused_readout(
             mk, qk, mv, top_k, valid_tokens, block_q=ro_bq,
             block_m=min(pallas_block_m, max(mk.shape[0], 128)),
-            sel_block_q=sel_bq, sel_block_m=sel_bm)
+            sel_block_q=sel_bq, sel_block_m=sel_bm, kcfg=kcfg)
     if strategy == "pallas":
         from ..kernels.memory_topk import pallas_memory_topk
 

@@ -14,9 +14,16 @@ this framework, and the same synthetic video flows through BOTH stacks:
 Asserted per policy, round for round: mu_metric curve, annotation costs,
 selected frames, and (multi-type) chosen annotation actions.
 
-Deterministic policies only (qnet / oracle / upper-bound / oracle_oracle /
-eva_vos-with-argmax-agent); the rand_* loops draw from different RNG
-streams per framework by construction (SURVEY §7 "RNG parity").
+All policies covered, including the rand_* loops (VERDICT r3 #6): the
+random draws cannot match across stacks by construction (numpy RandomState
+vs default_rng vs stdlib random), so both sides are driven by ONE shared
+deterministic chooser — an order-invariant pure function of the candidate
+set for frame picks (the reference draws np.random.choice twice per round
+and discards the first, so call-counting would desync) plus a scripted
+index sequence for rand_rand's type picks (one draw per round on both
+sides).  The reference modules' ``np.random.choice`` / ``random.choice``
+are monkeypatched to that chooser for the duration of the reference call;
+this framework's loops receive it through their ``rng=`` parameter.
 """
 
 import numpy as np
@@ -38,9 +45,10 @@ from eva_vos_tpu.engine.propagation import EngineConfig
 from eva_vos_tpu.annotator import Annotator, FakeSAMController
 from eva_vos_tpu.data import synthetic_video
 from eva_vos_tpu.data.datasets import VideoSample
-from eva_vos_tpu.interactions.mask import (qnet_mask, oracle_mask,
+from eva_vos_tpu.interactions.mask import (qnet_mask, oracle_mask, rand_mask,
                                            upper_bound_mask)
-from eva_vos_tpu.interactions.multiple import oracle_oracle, eva_vos
+from eva_vos_tpu.interactions.multiple import (oracle_oracle, eva_vos,
+                                               rand_type, rand_rand)
 from eva_vos_tpu.ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 from eva_vos_tpu.utils.weight_convert import (convert_stcn, convert_fusion,
                                               convert_qnet,
@@ -166,6 +174,70 @@ def flax_argmax_act(nets):
     return act
 
 
+def _pick(candidates):
+    """Order-invariant deterministic 'random' frame pick: the k-th smallest
+    candidate with k a pure function of the candidate SET.  Both stacks see
+    the same candidates each round (frames not mask-annotated), so they
+    agree regardless of candidate ordering or how many times the reference
+    re-draws (rand_type/rand_rand call np.random.choice twice per round,
+    mulitple_annotations.py:209-216)."""
+    cand = sorted(int(c) for c in candidates)
+    k = (sum(cand) + 3 * len(cand)) % len(cand)
+    return cand[k]
+
+
+class _ScriptedRng:
+    """rng= shim for this framework's rand loops: frame picks via _pick,
+    type picks via a scripted index sequence."""
+
+    def __init__(self, type_script=()):
+        self._types = list(type_script)
+        self._ti = 0
+
+    def choice(self, arr):
+        return _pick(np.asarray(arr))
+
+    def integers(self, n):
+        i = self._types[self._ti % len(self._types)] % n
+        self._ti += 1
+        return i
+
+
+class _RefPatches:
+    """Context manager: route the reference modules' RNG calls to the same
+    chooser (np.random.choice for frames; random.choice for rand_mask's
+    frame pick or rand_rand's type pick depending on `stdlib_mode`)."""
+
+    def __init__(self, stdlib_mode=None, type_script=()):
+        self.stdlib_mode = stdlib_mode
+        self._types = list(type_script)
+        self._ti = 0
+
+    def __enter__(self):
+        import random as _random
+
+        self._np_choice = np.random.choice
+        self._py_choice = _random.choice
+        np.random.choice = lambda a, size=1: np.asarray([_pick(a)])
+
+        def py_choice(seq):
+            if self.stdlib_mode == "frames":
+                return _pick(seq)
+            i = self._types[self._ti % len(self._types)] % len(seq)
+            self._ti += 1
+            return seq[i]
+
+        _random.choice = py_choice
+        return self
+
+    def __exit__(self, *exc):
+        import random as _random
+
+        np.random.choice = self._np_choice
+        _random.choice = self._py_choice
+        return False
+
+
 def assert_rounds_equal(got, ref, what, atol=2e-4):
     got, ref = list(got), list(ref)
     assert len(got) == len(ref), f"{what}: {len(got)} vs {len(ref)} rounds"
@@ -211,6 +283,65 @@ class TestMaskPolicyParity:
                                              eval_metric="j")
         assert_rounds_equal(got_mu, ref_mu, "upper_bound_mask mu_metric")
         assert list(got_times) == list(ref_times), "upper_bound_mask times"
+
+
+class TestRandPolicyParity:
+    """rand_* loops round-for-round vs the imported reference, both stacks
+    driven by the same deterministic chooser (VERDICT r3 #6)."""
+
+    def test_rand_mask(self, ref_interactions, nets, ref_data, sample):
+        _, ref_mask, _, _, _ = ref_interactions
+        tnet, t_fuse, _, _ = nets["torch"]
+        # reference rand_frame_selection uses stdlib random.choice on the
+        # not-interacted frame list (policies.py:63-67)
+        with _RefPatches(stdlib_mode="frames"), torch.no_grad():
+            ref_mu, ref_times = ref_mask.rand_mask(
+                ROUNDS, tnet, t_fuse, ref_data, eval_metric="j")
+        engine = make_engine(nets)
+        got_mu, got_times = rand_mask(ROUNDS, engine, sample,
+                                      eval_metric="j", rng=_ScriptedRng())
+        assert_rounds_equal(got_mu, ref_mu, "rand_mask mu_metric")
+        assert list(got_times) == list(ref_times), "rand_mask times"
+
+    def test_rand_type(self, ref_interactions, nets, ref_data, sample):
+        _, _, _, ref_multi, ref_annot = ref_interactions
+        tnet, t_fuse, _, _ = nets["torch"]
+        r_annotator = ref_annot.Annotator(prompt_type="c", device="cpu",
+                                          verbose=False)
+        with _RefPatches(), torch.no_grad():
+            ref_mu, ref_times, ref_actions = ref_multi.rand_type(
+                ROUNDS, tnet, t_fuse, ref_data, r_annotator,
+                annotation_type="3clicks", eval_metric="j")
+        engine = make_engine(nets)
+        annotator = Annotator(FakeSAMController())
+        got_mu, got_times, got_actions = rand_type(
+            ROUNDS, engine, sample, annotator, annotation_type="3clicks",
+            eval_metric="j", rng=_ScriptedRng())
+        assert_rounds_equal(got_mu, ref_mu, "rand_type mu_metric")
+        assert [float(c) for c in got_times] == \
+            [float(c) for c in ref_times], "rand_type costs"
+        assert list(got_actions) == list(ref_actions), "rand_type actions"
+
+    def test_rand_rand(self, ref_interactions, nets, ref_data, sample):
+        _, _, _, ref_multi, ref_annot = ref_interactions
+        tnet, t_fuse, _, _ = nets["torch"]
+        r_annotator = ref_annot.Annotator(prompt_type="c", device="cpu",
+                                          verbose=False)
+        type_script = [0, 1, 0, 1, 1, 0]
+        with _RefPatches(type_script=type_script), torch.no_grad():
+            ref_mu, ref_times, ref_actions = ref_multi.rand_rand(
+                ROUNDS, tnet, t_fuse, ref_data, r_annotator,
+                annotation_types=["3clicks", "mask"], eval_metric="j")
+        engine = make_engine(nets)
+        annotator = Annotator(FakeSAMController())
+        got_mu, got_times, got_actions = rand_rand(
+            ROUNDS, engine, sample, annotator,
+            annotation_types=("3clicks", "mask"), eval_metric="j",
+            rng=_ScriptedRng(type_script=type_script))
+        assert_rounds_equal(got_mu, ref_mu, "rand_rand mu_metric")
+        assert [float(c) for c in got_times] == \
+            [float(c) for c in ref_times], "rand_rand costs"
+        assert list(got_actions) == list(ref_actions), "rand_rand actions"
 
 
 class TestMultiPolicyParity:
