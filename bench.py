@@ -111,6 +111,85 @@ def executable_flops(jitted, *args, **kwargs):
         return None
 
 
+def executed_interact_flops(engine, feats, idx: int = 0):
+    """Executed-FLOP model of one ``interact(state0, feats, mask, 0)``.
+
+    XLA's ``cost_analysis`` counts a ``fori_loop`` body ONCE regardless of
+    trip count (verified: a 10-iteration matmul loop reports 1 matmul), so
+    dividing it by wall time — the r1-r3 ``mfu`` fields — undercounts the
+    aggregate MFU ~3-4x at T=60 (the interact walks ~11 blocked + 4 tail
+    steps).  This model counts what actually executes:
+
+      n_blocks * F(block decode) + n_tail * F(frame decode)
+      + n_admissions * F(encode_value)                 [cost_analysis, exact]
+      + per-step attention work                        [analytic]
+
+    where attention = 2*N*M_live*CK (affinity dot) + 2*N*top_k*CV (readout
+    useful work) — added only on the pallas path (cost_analysis sees pallas
+    custom calls as 0 FLOPs; the XLA scatter path is already counted).
+    Escalation/tournament overhead and skipped-block savings are not
+    modeled; the attention figure is the useful-work lower bound.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t, hw, ck = feats.k16.shape
+    cfg = engine.config
+    bsz = cfg.mem_freq
+    n_steps = t - 1 - idx
+    n_blocks = n_steps // bsz
+    n_tail = n_steps - n_blocks * bsz
+    cv = getattr(engine.stcn, "value_dim", 512)
+    state = engine.init_state(feats, 1)
+    front = jnp.asarray(1, jnp.int32)
+
+    f_block = executable_flops(
+        jax.jit(lambda bk, bv, tis: engine._segment_frames_batched(
+            feats, bk, bv, front, tis)),
+        state.bank_k, state.bank_v, jnp.arange(bsz, dtype=jnp.int32))
+    f_tail = executable_flops(
+        jax.jit(lambda bk, bv, ti: engine._segment_frame(
+            feats, bk, bv, front, ti)),
+        state.bank_k, state.bank_v, jnp.asarray(1, jnp.int32)) \
+        if n_tail else 0.0
+    f_ev = executable_flops(
+        jax.jit(lambda m: engine._encode_value(
+            feats, jnp.asarray(0, jnp.int32), m)),
+        jnp.zeros((1, *feats.images.shape[1:3]), jnp.float32))
+    if f_block is None or f_ev is None or f_tail is None:
+        return None
+
+    # admission schedule: one per full block unless its last frame is the
+    # pass end (idx=0 forward pass: end frame t-1 is never a block's last
+    # frame unless t-1-idx is a block boundary)
+    end = t - 1
+    n_adm = sum(1 for b in range(n_blocks)
+                if idx + 1 + b * bsz + (bsz - 1) != end)
+    top_k = min(cfg.top_k, state.bank_k.shape[0] * hw)
+
+    f_attn = 0.0
+    if engine.config.readout_strategy.startswith("pallas"):
+        for b in range(n_blocks):
+            n_q = bsz * hw
+            m_live = (1 + b) * hw   # certain slot + b admissions so far
+            f_attn += 2.0 * n_q * m_live * ck + 2.0 * n_q * top_k * cv
+        for _ in range(n_tail):
+            m_live = (1 + n_adm) * hw
+            f_attn += 2.0 * hw * m_live * ck + 2.0 * hw * top_k * cv
+
+    total = (n_blocks * f_block + n_tail * f_tail + n_adm * f_ev + f_attn)
+    return {
+        "total": total,
+        "detail": {
+            "n_blocks": n_blocks, "n_tail": n_tail, "n_admissions": n_adm,
+            "block_decode_tflops": round(n_blocks * f_block / 1e12, 3),
+            "tail_decode_tflops": round(n_tail * f_tail / 1e12, 3),
+            "encode_value_tflops": round(n_adm * f_ev / 1e12, 3),
+            "attention_tflops": round(f_attn / 1e12, 3),
+        },
+    }
+
+
 def quality_delta(dtype_name: str = "bf16"):
     """Matched-weights quality check tying the fps number to accuracy.
 
@@ -223,16 +302,25 @@ def quality_delta(dtype_name: str = "bf16"):
     }
 
 
-def fit_stcn_briefly(steps: int = 150, t: int = 6, h: int = 160, w: int = 160,
-                     seed: int = 5):
-    """Briefly fit the flax PropagationNetwork on a synthetic video (fp32)
-    so the quality check runs at a mid-range J (VERDICT r2: random init
-    yields near-empty masks and a degenerate j_delta).
+def fit_stcn_briefly(images01, gt_masks, steps: int = 150, lr: float = 1e-3,
+                     pos_w: float = 4.0, n_frames: int = 8,
+                     bce_target: float = 0.02):
+    """Briefly fit the flax PropagationNetwork ON THE BENCH VIDEO at
+    production geometry (fp32) so the quality check runs at a mid-range J.
 
-    The loss is one-shot propagation: memorize frame 0's gt mask, then
-    decode every other frame from the memory readout and take BCE against
-    its gt.  Convs are resolution-agnostic, so a fit at 160x160 transfers
-    to the 480p evaluation.  Returns fp32 PropagationNetwork variables.
+    r3's fit (160x160, probability-space BCE) never actually converged —
+    the decoder's sigmoid saturates and BCE-on-probabilities has zero
+    gradient through a saturated sigmoid, freezing the loss
+    (experiments/r4_fit_transfer*.py: BCE stuck at 1.92, J = 0.0 even on
+    the fit geometry).  This fit (a) trains at the episode's own 480p
+    geometry on a stride-8 frame subset of the bench video, (b) uses
+    logit-space positive-weighted sigmoid BCE (gradient sigmoid(x) - y,
+    never zero), and (c) EARLY-STOPS at ``bce_target`` so the reference J
+    lands mid-range rather than saturating past the 0.98 degeneracy gate
+    (full convergence measures one-shot J 0.978, r4_fit_transfer3.json).
+    The weights are synthetic-video-specific by design: the deep-quality
+    check measures ENGINE parity at a useful quality level, not model
+    generality.  Returns fp32 PropagationNetwork variables.
     """
     import jax
     import jax.numpy as jnp
@@ -241,17 +329,23 @@ def fit_stcn_briefly(steps: int = 150, t: int = 6, h: int = 160, w: int = 160,
     from eva_vos_tpu.models import PropagationNetwork
     from eva_vos_tpu.ops.memory_attention import memory_readout
     from eva_vos_tpu.ops.normalize import im_normalize
-    from eva_vos_tpu.data import synthetic_video
+    from eva_vos_tpu.ops.padding import compute_pad, pad_hw
 
     stcn = PropagationNetwork(top_k=50, dtype=jnp.float32)
-    images, gt = synthetic_video(t, h, w, num_objects=1, seed=seed)
-    frames = im_normalize(jnp.asarray(images, jnp.float32))  # [T, H, W, 3]
-    gt = jnp.asarray(gt[0], jnp.float32)                     # [T, H, W]
+    t_all, h, w = images01.shape[:3]
+    stride = max(1, t_all // n_frames)
+    sel = list(range(0, t_all, stride))[:n_frames]
+    pad = compute_pad(h, w, 16)
+    frames = pad_hw(im_normalize(jnp.asarray(images01[sel], jnp.float32)),
+                    pad, h_axis=1, w_axis=2)
+    gt = pad_hw(jnp.asarray(gt_masks[0][sel], jnp.float32), pad,
+                h_axis=-2, w_axis=-1)
+    t = len(sel)
 
     variables = stcn.init(jax.random.PRNGKey(0), frames[0], gt[0][None],
                           method="init_all")
     params, stats = variables["params"], variables.get("batch_stats", {})
-    opt = optax.adam(3e-4)
+    opt = optax.adam(lr)
     opt_state = opt.init(params)
 
     def loss_fn(params):
@@ -268,17 +362,17 @@ def fit_stcn_briefly(steps: int = 150, t: int = 6, h: int = 160, w: int = 160,
             ro = memory_readout(k16[0], k16[i], mv, top_k=min(50, hw16),
                                 strategy="scatter")
             ro = ro.reshape(1, *feats.f16_thin.shape[1:3], -1)
-            prob = stcn.apply(v, ro, feats.f16_thin[i], feats.f8[i],
-                              feats.f4[i], method="decode_with_readout")
-            return prob[0]                             # [H, W]
+            logit = stcn.apply(v, ro, feats.f16_thin[i], feats.f8[i],
+                               feats.f4[i], method="decode_with_readout",
+                               return_logits=True)
+            return logit[0]                            # [H, W]
 
         # lax.map: ONE traced seg branch regardless of t (unrolled branches
         # would multiply the tunnel compile time)
-        probs = jax.lax.map(seg, jnp.arange(1, t))
+        logits = jax.lax.map(seg, jnp.arange(1, t))
         tgt = gt[1:]
-        eps = 1e-6
-        bce = -(tgt * jnp.log(probs + eps)
-                + (1 - tgt) * jnp.log(1 - probs + eps))
+        bce = -(pos_w * tgt * jax.nn.log_sigmoid(logits)
+                + (1 - tgt) * jax.nn.log_sigmoid(-logits))
         return jnp.mean(bce)
 
     @jax.jit
@@ -288,10 +382,14 @@ def fit_stcn_briefly(steps: int = 150, t: int = 6, h: int = 160, w: int = 160,
         return optax.apply_updates(params, updates), opt_state, loss
 
     loss = None
-    for _ in range(steps):
+    for i in range(steps):
         params, opt_state, loss = step(params, opt_state)
-    print(f"[bench] stcn brief fit: final bce {float(loss):.4f}",
-          file=sys.stderr)
+        # early stop on the PREVIOUS step's loss (device round-trip once
+        # every 10 steps, not every step)
+        if i % 10 == 9 and float(loss) <= bce_target:
+            break
+    print(f"[bench] stcn brief fit: {i + 1} steps, final bce "
+          f"{float(loss):.4f}", file=sys.stderr)
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats
@@ -433,6 +531,147 @@ def deep_quality(engine, feats, images, gt, pad, stcn_fp32_vars,
     return out
 
 
+def build_jax_sam(preset: str = "vit_h", dtype_name: str = "bf16"):
+    """Random-weight JAX SAM predictor + controller (geometry is what the
+    SAM bench measures; production loads converted official weights)."""
+    import jax.numpy as jnp
+
+    from eva_vos_tpu.models.sam import build_sam
+    from eva_vos_tpu.models.sam.predictor import SamPredictor, SAMController
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    sam, params = build_sam(preset, dtype=dtype)
+    predictor = SamPredictor(sam, params)
+    return SAMController(predictor)
+
+
+def sam_bench(controller, h: int = 480, w: int = 854, iters: int = 5):
+    """SAM-path TPU timings (VERDICT r3 #2): (a) ViT-H 1024^2 image encode
+    ms/frame, (b) the reference's warm-start decode chain — middle click +
+    up to 20 refinement rounds (``annotator/annotator.py:60-107``) + a
+    3-click annotation round — measured end-to-end through the Annotator.
+
+    Random weights keep SAM's outputs below the warm-start IoU threshold,
+    so the chain runs its full 21+ decode budget: the numbers are the
+    WORST-CASE chain cost.  Returns {} on failure (the bench must never
+    sink the headline)."""
+    import jax
+
+    import numpy as np
+
+    from eva_vos_tpu.annotator import Annotator
+    from eva_vos_tpu.data import synthetic_video
+    from eva_vos_tpu.ops.normalize import im_normalize
+
+    images, gt = synthetic_video(4, h, w, num_objects=1, seed=7)
+    frame = np.asarray(im_normalize(images[1]))
+    gt_mask = gt[0, 1].astype(np.float32)
+    # a plausibly-wrong propagated mask: the same object shifted
+    pred = np.roll(gt[0, 1], (12, 20), axis=(0, 1)).astype(np.float32)
+
+    annotator = Annotator(controller)
+
+    out = {}
+    # (a) encode: first call compiles, then steady-state ms/frame
+    t0 = time.perf_counter()
+    annotator.set_image_to_sam(frame)
+    print(f"[bench] sam encode first call (compile) "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    times = []
+    for _ in range(iters):
+        controller.reset_image()
+        t0 = time.perf_counter()
+        annotator.set_image_to_sam(frame)
+        jax.block_until_ready(controller.predictor.features)
+        times.append(time.perf_counter() - t0)
+    out["sam_encode_ms"] = round(float(np.median(times)) * 1e3, 2)
+
+    # (b) decode chain: warm-start (middle click + <=20 refinements) + one
+    # 3-click annotation round, exactly the per-round SAM work of a 'click'
+    # action.  First full chain compiles the decode; time the second.
+    for rep in range(2):
+        annotator.clear_sam_cache()
+        t0 = time.perf_counter()
+        sam_mask, cost, iou, logits, clicks, labels, bbox = \
+            annotator.get_mask(
+                annotation_type="click", num_prompts=3, gt_mask=gt_mask,
+                im=frame, mivos_mask=pred.astype(bool), cache_key=1)
+        chain_s = time.perf_counter() - t0
+        if rep == 0:
+            print(f"[bench] sam decode chain first run (compile) "
+                  f"{chain_s:.1f}s", file=sys.stderr)
+    out["sam_decode_chain_ms"] = round(chain_s * 1e3, 2)
+    return out
+
+
+def eva_vos_round_rate(engine, images01, gt, controller, rounds: int = 6):
+    """(c) of VERDICT r3 #2: full eva_vos policy rounds/sec with the JAX
+    SAM in the loop — QNet frame selection + RL-agent type selection +
+    annotator (warm-start chain) + propagation, on the bench video."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eva_vos_tpu.annotator import Annotator
+    from eva_vos_tpu.data.datasets import VideoSample
+    from eva_vos_tpu.interactions.multiple import eva_vos
+    from eva_vos_tpu.models.qnet import QualityNet
+    from eva_vos_tpu.models.rl_agent import ActorCritic
+
+    qnet = QualityNet(merge_strategy="cat", arch="resnet18", n_labels=20)
+    qv = qnet.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 224, 224, 3)))
+
+    @jax.jit
+    def qnet_extract(imgs, masks):
+        return qnet.apply(qv, imgs, masks, method="extract_features")
+
+    scfg = controller.predictor.cfg
+    emb_shape = (1, scfg.grid, scfg.grid, scfg.prompt_embed_dim)
+    rl = ActorCritic(out_dim=2, arch="resnet18", dropout=0.0)
+    rv = rl.init(jax.random.PRNGKey(1), jnp.zeros(emb_shape),
+                 jnp.zeros((1, 224, 224, 3)))
+
+    @jax.jit
+    def rl_fwd(emb, mask):
+        return rl.apply(rv, emb, mask)
+
+    calls = [0]
+
+    def rl_act(emb, mask224):
+        # the value comes from the real (random-weight) ActorCritic forward;
+        # the ACTION alternates 3clicks/mask so the measured round rate
+        # covers both annotation paths (a random net's argmax is constant,
+        # which would silently drop the SAM click chain from the timing)
+        _, value = rl_fwd(jnp.asarray(emb), jnp.asarray(mask224))
+        calls[0] += 1
+        return calls[0] % 2, float(value.squeeze())
+
+    sample = VideoSample(name="bench__1", images01=images01, gt=gt)
+    annotator = Annotator(controller)
+
+    # warm-up: compile the QNet / agent forwards at the loop's real shapes
+    # so the timed section measures the round rate, not tunnel compiles
+    t = images01.shape[0]
+    jax.block_until_ready(qnet_extract(jnp.zeros((t, 224, 224, 3)),
+                                       jnp.zeros((t, 224, 224, 3))))
+    jax.block_until_ready(rl_fwd(jnp.zeros(emb_shape),
+                                 jnp.zeros((1, 224, 224, 3))))
+
+    t0 = time.perf_counter()
+    mu, times, values, actions, metrics, frames = eva_vos(
+        qnet_extract, rl_act, rounds, engine, sample, annotator,
+        annotation_types=("3clicks", "mask"), eval_metric="j")
+    elapsed = time.perf_counter() - t0
+    n_rounds = len(mu)
+    print(f"[bench] eva_vos {n_rounds} rounds in {elapsed:.1f}s "
+          f"(actions {actions})", file=sys.stderr)
+    return {
+        "eva_vos_rounds_per_sec": round(n_rounds / elapsed, 3),
+        "eva_vos_rounds_timed": n_rounds,
+    }
+
+
 def run(quick: bool = False):
     import os
 
@@ -481,15 +720,18 @@ def run(quick: bool = False):
     pw = w + (-w) % 16
     frame0 = jnp.zeros((ph, pw, 3), dtype)
     mask0 = jnp.zeros((1, ph, pw), dtype)
+    images, masks = synthetic_video(t, h, w, num_objects=1, seed=0)
     fp32_stcn = None
     fp32_fusion = None
     if not quick:
-        # briefly-fitted weights: the SAME weights drive the headline
-        # timing, the engine's quality episode, and (exported through the
-        # inverse converter) the torch reference episode — so the quality
-        # tie-in is measured at a mid-range J, not a degenerate ~0
+        # briefly-fitted weights (ON this very video, at its geometry —
+        # the r3 small-geometry fit never converged, r4_fit_transfer*):
+        # the SAME weights drive the headline timing, the engine's quality
+        # episode, and (exported through the inverse converter) the torch
+        # reference episode — so the quality tie-in is measured at a
+        # mid-range J, not a degenerate ~0
         try:
-            fp32_stcn = fit_stcn_briefly()
+            fp32_stcn = fit_stcn_briefly(images, masks)
             # cast to the bench dtype (matching r2's converted-checkpoint
             # treatment — the torch side keeps the fp32 originals)
             sp = jax.tree.map(lambda x: jnp.asarray(x, dtype), fp32_stcn)
@@ -519,7 +761,6 @@ def run(quick: bool = False):
     print(f"[bench] readout strategy: {strat} (pallas kernel probe {probe})",
           file=sys.stderr)
 
-    images, masks = synthetic_video(t, h, w, num_objects=1, seed=0)
     padded, pad = prepare_video(images, dtype=dtype)
     feats = engine.precompute_features(padded)
     jax.block_until_ready(feats.k16)
@@ -573,38 +814,59 @@ def run(quick: bool = False):
     }
 
     if not quick:
-        # aggregate MFU from XLA's own FLOP count of the compiled interact
-        # (the .lower().compile() hits the persistent cache enabled above)
+        # aggregate MFU from the EXECUTED-FLOP model (r4): the r1-r3 fields
+        # divided cost_analysis of the whole interact by wall time, but
+        # cost_analysis counts fori_loop bodies ONCE — a ~3-4x undercount
+        # at T=60 (~11 blocked + 4 tail iterations per pass).  See
+        # experiments/r4_mfu_attribution.md.
         try:
             peak, kind = device_peak_flops()
+            model = executed_interact_flops(engine, feats)
+            if model and peak:
+                result["mfu"] = round(
+                    model["total"] * iters / elapsed / peak, 4)
+                result["interact_tflops_executed"] = round(
+                    model["total"] / 1e12, 3)
+                result["mfu_detail"] = model["detail"]
+                result["device"] = kind
+            # the old (loop-bodies-once) figure, kept for r1-r3 comparison
             flops = executable_flops(engine._interact_jit, state0, feats, m0,
                                      jnp.asarray(0, jnp.int32))
             if flops and peak:
-                result["mfu"] = round(flops * iters / elapsed / peak, 4)
-                result["interact_tflops"] = round(flops / 1e12, 3)
-                result["device"] = kind
+                result["mfu_costanalysis_legacy"] = round(
+                    flops * iters / elapsed / peak, 4)
+                result.setdefault("device", kind)
         except Exception as e:  # accounting must never sink the headline
             print(f"[bench] mfu accounting skipped: {e!r}", file=sys.stderr)
             result["mfu_skipped"] = repr(e)
 
     if not quick:
-        # interactive big-bank session (the regime EVA-VOS actually runs):
-        # spread interactions like an annotation session; honest metric =
-        # frames the passes actually propagate / wall time
-        rounds = 10
-        order = [0, t - 1] + list(range(2, t - 1,
-                                        max(1, t // rounds)))[:rounds - 2]
+        # interactive big-bank session (the regime EVA-VOS actually runs),
+        # at the reference's 60-round protocol
+        # (``eval_annotation_method.py:30``); honest metric = frames the
+        # passes actually propagate / wall time.  Frames are chosen
+        # farthest-point in index space (the shape of qnet/oracle
+        # selections).  The first-10-round fields keep r1-r3 comparability;
+        # the *_60round fields record the long-session steady state where
+        # fixed per-round cost dominates (VERDICT r3 #5).
+        rounds = min(60, t)
+        order = [0, t - 1]
+        while len(order) < rounds:
+            s = sorted(order)
+            gaps = [(s[i + 1] - s[i], s[i]) for i in range(len(s) - 1)]
+            g, lo = max(gaps)
+            if g <= 1:
+                break
+            order.append(lo + g // 2)
         try:
             state = engine.init_state(feats, 1)
             interacted = set()
-            total_frames = 0
-            tstart = None
             # device-resident masks: per-round host->device mask uploads
             # are not part of the propagation work being measured (real
             # sessions produce SAM masks on device)
             masks_dev = pad_mask(masks.astype(np.float32), pad)
             jax.block_until_ready(masks_dev)
-            tail_frames = tail_time = 0.0
+            per_round = []  # (n_frames, seconds) per round, r >= 1
             for r, idx in enumerate(order[:rounds]):
                 fwd = min((i for i in interacted if i > idx), default=t)
                 bwd = max((i for i in interacted if i < idx), default=-1)
@@ -634,28 +896,53 @@ def run(quick: bool = False):
                         state = engine.init_state(feats, 1)
                         time.sleep(20)
                         rt0 = time.perf_counter()
-                if r == 0:
-                    tstart = time.perf_counter()
-                else:
-                    total_frames += n_frames
-                    if r >= rounds // 2:
-                        tail_frames += n_frames
-                        tail_time += time.perf_counter() - rt0
-            ielapsed = time.perf_counter() - tstart
-            result["interactive_fps_72slot_honest"] = round(
-                total_frames / ielapsed, 2)
+                if r > 0:  # round 0 is the donated-variant compile
+                    per_round.append((n_frames, time.perf_counter() - rt0))
+
+            def window(a, b):  # fps + seconds over rounds [a, b)
+                fr = sum(f for f, _ in per_round[a:b])
+                sec = sum(s for _, s in per_round[a:b])
+                return fr / sec if sec else 0.0, sec
+
+            fps10, sec10 = window(0, 9)
+            result["interactive_fps_72slot_honest"] = round(fps10, 2)
             result["interactive_rounds_per_sec"] = round(
-                (rounds - 1) / ielapsed, 3)
-            if tail_time:
-                # steady-state: the session's second half (warmer bank,
-                # fewer frames per round — the regime where fixed per-round
-                # cost and bank-fill-dependent selection show up)
-                result["interactive_tail_fps_honest"] = round(
-                    tail_frames / tail_time, 2)
+                min(9, len(per_round)) / sec10, 3) if sec10 else 0.0
+            result["interactive_tail_fps_honest"] = round(
+                window(4, 9)[0], 2)
+            if len(per_round) > 30:
+                n = len(per_round)
+                result["interactive_fps_60round"] = round(
+                    window(0, n)[0], 2)
+                result["interactive_tail_fps_60round"] = round(
+                    window(n // 2, n)[0], 2)
+                result["interactive_rounds_60"] = n + 1
+                result["interactive_tail_ms_per_round_60round"] = round(
+                    1e3 * window(n // 2, n)[1] / (n - n // 2), 1)
         except Exception as e:  # never sink the already-computed headline
             print(f"[bench] interactive session skipped: {e!r}",
                   file=sys.stderr)
             result["interactive_skipped"] = repr(e)
+
+        # SAM-path benchmarks (VERDICT r3 #2): encode ms, warm-start decode
+        # chain ms, and the full eva_vos policy round rate with the JAX SAM
+        # in the loop.  Random ViT-H weights — the geometry (and the
+        # worst-case 21-decode warm-start budget) is what's measured.
+        controller = None
+        try:
+            controller = build_jax_sam()
+            result.update(sam_bench(controller))
+        except Exception as e:
+            print(f"[bench] sam bench skipped: {e!r}", file=sys.stderr)
+            result["sam_bench_skipped"] = repr(e)
+        if controller is not None:
+            try:
+                result.update(eva_vos_round_rate(
+                    engine, images, masks, controller))
+            except Exception as e:
+                print(f"[bench] eva_vos round rate skipped: {e!r}",
+                      file=sys.stderr)
+                result["eva_vos_rate_skipped"] = repr(e)
 
         # production-geometry quality: same fitted weights through the
         # torch reference (CPU fp32) and this engine (bf16 + production

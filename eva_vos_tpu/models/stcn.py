@@ -157,12 +157,15 @@ class PropagationNetwork(nn.Module):
         return self.value_encoder(frames, kf16s, masks, others)
 
     def decode_with_readout(self, readout_value, qv16, qf8, qf4,
-                            skips_precomputed: bool = False):
+                            skips_precomputed: bool = False,
+                            return_logits: bool = False):
         """[K, h, w, 512] memory readout + query features -> [K, H, W] probs.
 
         ``skips_precomputed``: qf8/qf4 are already the decoder's skip_conv
         outputs (``encode_skips``) — the engine hoists those per-frame convs
         into feature precompute.
+        ``return_logits``: skip the sigmoid (training losses want logit
+        space — sigmoid-then-BCE has zero gradient once saturated).
         """
         k = readout_value.shape[0]
         qv = jnp.broadcast_to(qv16[None], (k, *qv16.shape))
@@ -171,6 +174,8 @@ class PropagationNetwork(nn.Module):
         f4 = jnp.broadcast_to(qf4[None], (k, *qf4.shape))
         logits = self.decoder(m4, f8, f4,
                               skips_precomputed=skips_precomputed)
+        if return_logits:
+            return logits[..., 0]
         return nn.sigmoid(logits[..., 0])
 
     def encode_skips(self, f8, f4):

@@ -7,6 +7,8 @@ from eva_vos_tpu.ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 from eva_vos_tpu.ops.metrics import compute_iou
 from eva_vos_tpu.utils import ANNOTATION_COSTS
 
+pytestmark = pytest.mark.smoke
+
 
 H, W = 96, 128
 

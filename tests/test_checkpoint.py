@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from eva_vos_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint
 
@@ -30,6 +31,7 @@ class TestCheckpoint:
         out = restore_checkpoint(path)
         np.testing.assert_allclose(np.asarray(out["x"]), 0.0)
 
+    @pytest.mark.slow
     def test_trainer_state_resume(self, tmp_path):
         """PPO-style resume: params + counters survive the round trip."""
         from eva_vos_tpu.models import ActorCritic

@@ -13,6 +13,7 @@ def tiny_models(monkeypatch):
 
 
 class TestEvalCLI:
+    @pytest.mark.slow
     def test_oracle_mask_synthetic(self, tmp_path):
         from eva_vos_tpu.cli.eval_annotation_method import main
 

@@ -100,6 +100,7 @@ class TestAnnotationDatasetOnDisk:
 
 
 class TestEvalCLIOnDiskDB:
+    @pytest.mark.slow
     def test_oracle_mask_on_db(self, fake_mose_tree, tmp_path, monkeypatch):
         """The --db path of eval_annotation_method: real dataset loader,
         engine episodes, reference CSV schema."""

@@ -155,6 +155,7 @@ def test_engine_matches_oracle(k_objects, block_frames):
     assert np.asarray(state.interacted).sum() == 3
 
 
+@pytest.mark.slow
 def test_readout_strategies_agree():
     """gather and scatter readouts must produce identical propagation."""
     stcn, fusion, sp, fp, _ = build(1)
@@ -174,6 +175,7 @@ def test_readout_strategies_agree():
     np.testing.assert_allclose(probs[0], probs[1], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fusion_packed_matches_module_path():
     """The space-to-depth FusionNet execution must not change propagation:
     two interactions force fused passes, then compare full prob volumes."""
@@ -221,6 +223,7 @@ def test_fusion_none_disables_blending(block_frames):
     np.testing.assert_allclose(prob[:, 1:-1].sum(0), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_interact_capacity_error():
     """Exceeding max_interactions certain slots must raise loudly, not
     silently clamp into the transient bank region (ADVICE r1)."""
@@ -240,6 +243,7 @@ def test_interact_capacity_error():
                         pad_mask(masks[:, 2].astype(np.float32), pad), 2)
 
 
+@pytest.mark.slow
 def test_propagation_tracks_moving_object():
     """With *trained-free* random nets we can't check quality, but the engine
     must at least produce valid distributions and mark state correctly."""
@@ -262,6 +266,7 @@ def test_propagation_tracks_moving_object():
     np.testing.assert_array_equal(ids[0], masks[0, 0])
 
 
+@pytest.mark.slow
 def test_donating_interact_matches_default():
     """interact(donate=True) must produce the same propagation as the
     non-donating path; the donated input state must be consumed."""

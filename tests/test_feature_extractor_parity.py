@@ -67,6 +67,7 @@ def test_resnet_extractor_parity(rng_mod):
     np.testing.assert_allclose(got, ref_feats, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_vit_extractor_parity(rng_mod):
     if not Path("/root/reference").exists():
         pytest.skip("no reference")
@@ -172,6 +173,7 @@ def test_dino_extractor_parity(rng_mod, monkeypatch):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_build_extractor_loads_converted_pth(rng_mod, tmp_path, monkeypatch):
     """End-to-end: a torch .pth in the weights root loads through the
     converter; the load report records a non-random load."""

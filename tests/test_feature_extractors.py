@@ -25,6 +25,7 @@ class TestBuildFeatureExtractor:
         feats = extract(rng.uniform(0, 1, (2, 64, 96, 3)).astype(np.float32))
         assert feats.shape[0] == 2 and feats.ndim == 2
 
+    @pytest.mark.slow
     def test_vit_random_init(self, rng):
         from eva_vos_tpu.models.feature_extractors import build_feature_extractor
 

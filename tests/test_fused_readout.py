@@ -11,8 +11,9 @@ from eva_vos_tpu.ops import memory_readout
 
 
 @pytest.mark.parametrize("k_obj", [1, 2])
-@pytest.mark.parametrize("m,n,ck,cv,top_k",
-                         [(512, 64, 16, 32, 8), (768, 100, 32, 16, 16)])
+@pytest.mark.parametrize("m,n,ck,cv,top_k", [
+    (512, 64, 16, 32, 8),
+    pytest.param(768, 100, 32, 16, 16, marks=pytest.mark.slow)])
 def test_matches_xla_oracle(rng, m, n, ck, cv, top_k, k_obj):
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
     qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))

@@ -98,6 +98,7 @@ class TestSessionEval:
         assert s.frame_interaction_type[0] == 1
         assert s.annotation_times == [ANNOTATION_COSTS["mask"]]
 
+    @pytest.mark.slow
     def test_eval_overrides_interacted_with_gt(self, engine, sample):
         s = initialize(engine, sample)
         s.interact(s.gt_mask(0), 0)
@@ -131,6 +132,7 @@ class TestMaskPolicies:
         mus, times = rand_mask(T - 1, engine, sample, "j", rng=rng)
         assert len(mus) == T - 1
 
+    @pytest.mark.slow
     def test_qnet_mask(self, engine, sample, qnet_extract):
         mus, times = qnet_mask(qnet_extract, ROUNDS, engine, sample, "j")
         assert len(mus) == ROUNDS

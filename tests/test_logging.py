@@ -3,6 +3,9 @@
 import csv
 
 from eva_vos_tpu.utils.logging import MetricsLogger
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def _read(path):

@@ -12,6 +12,8 @@ import pytest
 
 from eva_vos_tpu.ops import memory_readout, memory_affinity_topk, full_softmax_affinity
 
+pytestmark = pytest.mark.smoke
+
 
 def numpy_reference_readout(mk, qk, mv, top_k):
     """mk [M,CK], qk [N,CK], mv [K,M,CV] -> [K,N,CV] via the torch formula."""

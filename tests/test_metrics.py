@@ -1,6 +1,8 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from eva_vos_tpu.ops.metrics import (
     compute_iou,
     binary_jaccard,
@@ -10,6 +12,8 @@ from eva_vos_tpu.ops.metrics import (
     f_measure,
     get_j_and_f,
 )
+
+pytestmark = pytest.mark.smoke
 
 
 def square_mask(h, w, y0, y1, x0, x1):

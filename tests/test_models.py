@@ -159,6 +159,7 @@ class TestFusionNet:
         np.testing.assert_allclose(np.asarray(packed1), np.asarray(ref1),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_phase_gemm_matches_module(self, rng):
         """The phase-GEMM fast path (nine tight dense blocks, the unpacked
         conv's exact MAC count) equals the module numerically."""
@@ -230,6 +231,7 @@ class TestActorCritic:
         p, v = net.apply(params, emb, mask)
         assert p.shape == (3, 2) and v.shape == (3, 1)
 
+    @pytest.mark.slow
     def test_vit_mask_branch(self):
         net = ActorCritic(out_dim=2, arch="vit_b_32")
         emb = jnp.zeros((1, 64, 64, 256))

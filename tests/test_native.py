@@ -6,8 +6,9 @@ import pytest
 from eva_vos_tpu import native
 from scipy import ndimage
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native toolchain unavailable")
+pytestmark = [pytest.mark.smoke,
+              pytest.mark.skipif(not native.available(),
+                                 reason="native toolchain unavailable")]
 
 _EIGHT = np.ones((3, 3), dtype=int)
 

@@ -15,6 +15,8 @@ from eva_vos_tpu.ops import (
 )
 from eva_vos_tpu.ops.resize import area_downsample
 
+pytestmark = pytest.mark.smoke
+
 
 class TestPadding:
     @pytest.mark.parametrize(

@@ -10,7 +10,9 @@ from eva_vos_tpu.ops import memory_affinity_topk
 
 @pytest.mark.parametrize("method", ["sort", "iterative", "grid",
                                     "tournament", "resident", "chunked"])
-@pytest.mark.parametrize("m,n,ck,top_k", [(512, 64, 16, 8), (768, 100, 32, 16)])
+@pytest.mark.parametrize("m,n,ck,top_k", [
+    (512, 64, 16, 8),
+    pytest.param(768, 100, 32, 16, marks=pytest.mark.slow)])
 def test_matches_xla_oracle(rng, m, n, ck, top_k, method):
     mk = jnp.asarray(rng.standard_normal((m, ck)).astype(np.float32))
     qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
@@ -112,6 +114,7 @@ def test_resident_valid_tokens(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_escalation_ties_and_fill(rng):
     """Chunked newest-first tournament: winners packed into one lane group
     (escalation), duplicated rows (ties across sub-blocks — the reversed
@@ -162,6 +165,7 @@ def test_chunked_bf16_inputs(rng):
                                rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_chunked_multi_superblock(rng):
     """Several superblocks per bank (the reversed scalar-prefetch order
     map) with a partial fill whose live prefix ends mid-superblock."""

@@ -16,6 +16,7 @@ def mesh():
     return make_mesh(8)
 
 
+@pytest.mark.slow
 class TestShardedReadout:
     @pytest.mark.parametrize("valid", [None, 96])
     def test_matches_single_device(self, rng, mesh, valid):

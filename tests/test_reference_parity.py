@@ -187,6 +187,7 @@ class TestFusionNetParity:
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestEpisodeParity:
     """8-frame InferenceCore episode vs InferenceEngine — the 'matched
     quality' proof: identical weights, three interactions (forward-only,

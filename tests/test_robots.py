@@ -1,6 +1,9 @@
 import numpy as np
 
 from eva_vos_tpu.annotator import ClickRobot, BboxRobot
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def sq(h, w, y0, y1, x0, x1):

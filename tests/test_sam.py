@@ -46,6 +46,7 @@ class TestWindowing:
         np.testing.assert_allclose(np.asarray(out[3, 0]), np.asarray(rp[6]))
 
 
+@pytest.mark.slow
 class TestEncoderShapes:
     def test_image_encoder_output(self, tiny_sam):
         sam, params = tiny_sam
@@ -65,6 +66,7 @@ class TestEncoderShapes:
         assert iou.shape == (4,)
 
 
+@pytest.mark.slow
 class TestPaddingInvariance:
     def test_extra_pad_slots_do_not_change_output(self, tiny_sam):
         """The fixed-shape prompt design must be exact: adding more padding
@@ -91,6 +93,7 @@ class TestPaddingInvariance:
         np.testing.assert_allclose(i8, i16, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 class TestPredictor:
     def test_set_image_and_predict(self, predictor, rng):
         img = (rng.uniform(0, 1, (96, 120, 3)) * 255).astype(np.uint8)
@@ -127,6 +130,7 @@ class TestPredictor:
         assert emb.shape == (32, 8, 8)  # channel-first, official layout
 
 
+@pytest.mark.slow
 class TestController:
     def test_reference_api(self, tiny_sam, rng):
         sam, params = tiny_sam

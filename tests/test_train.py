@@ -121,6 +121,7 @@ class TestPPO:
             value_loss_coef=0.5, entropy_coef=1e-4, target_kl_div=0.02,
             lr=1e-4, optim_str="Adam", arch="resnet18", dropout=0.0)
 
+    @pytest.mark.slow
     def test_rollout_and_optimize(self, trainer):
         rng = np.random.default_rng(3)
         storage = RolloutStorage(num_envs=4, num_steps=3, num_mini_batch=2)

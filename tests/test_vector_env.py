@@ -74,6 +74,7 @@ class TestVectorMatchesSequential:
 
 
 class TestBatchedRollouts:
+    @pytest.mark.slow
     def test_fills_storage(self):
         trainer = PPOTrainer(
             action_space=2, ppo_epochs=1, clip_param=0.2,
@@ -91,6 +92,7 @@ class TestBatchedRollouts:
 
 
 class TestBatchedSamDecodeParity:
+    @pytest.mark.slow
     def test_predict_batch_matches_sequential(self, rng):
         from eva_vos_tpu.models.sam import build_sam, SamPredictor
 

@@ -6,6 +6,8 @@ import pytest
 
 from eva_vos_tpu.vis import read_exp, rank_policy
 
+pytestmark = pytest.mark.smoke
+
 
 def simple_exp_csv(tmp_path):
     df = pd.DataFrame({

@@ -100,6 +100,7 @@ class TestStructuralRoundtrip:
             problems += check_tree_matches(template, converted, "batch_stats")
         assert not problems, "\n".join(problems[:20])
 
+    @pytest.mark.slow
     def test_stcn(self):
         from eva_vos_tpu.models import PropagationNetwork
         net = PropagationNetwork()  # production archs: resnet50 + resnet18
