@@ -99,16 +99,32 @@ def device_peak_flops():
     return None, kind
 
 
-def executable_flops(jitted, *args, **kwargs):
-    """Analytic FLOP count of a jitted fn via XLA cost analysis (None when
-    the backend does not expose it)."""
+def executable_flops(jitted, *args, errors: list = None, **kwargs):
+    """Analytic FLOP count of a jitted fn via XLA cost analysis.
+
+    Prefers ``Lowered.cost_analysis()`` (local, no remote compile — conv/
+    matmul FLOPs are identical to the post-compile figure) so the MFU model
+    does not pay, or transiently fail on, extra tunnel compiles (the r4
+    full run lost its ``mfu`` field to exactly that, silently).  Failures
+    are appended to ``errors`` so the caller can record WHY a field is
+    missing instead of dropping it."""
     try:
-        analysis = jitted.lower(*args, **kwargs).compile().cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        return float(analysis["flops"])
-    except Exception:
+        lowered = jitted.lower(*args, **kwargs)
+    except Exception as e:
+        if errors is not None:
+            errors.append(f"lower: {e!r}")
         return None
+    for stage in ("lowered", "compiled"):
+        try:
+            analysis = (lowered.cost_analysis() if stage == "lowered"
+                        else lowered.compile().cost_analysis())
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            return float(analysis["flops"])
+        except Exception as e:
+            if errors is not None:
+                errors.append(f"{stage}: {e!r}")
+    return None
 
 
 def executed_interact_flops(engine, feats, idx: int = 0):
@@ -143,21 +159,24 @@ def executed_interact_flops(engine, feats, idx: int = 0):
     state = engine.init_state(feats, 1)
     front = jnp.asarray(1, jnp.int32)
 
+    errors = []
     f_block = executable_flops(
         jax.jit(lambda bk, bv, tis: engine._segment_frames_batched(
             feats, bk, bv, front, tis)),
-        state.bank_k, state.bank_v, jnp.arange(bsz, dtype=jnp.int32))
+        state.bank_k, state.bank_v, jnp.arange(bsz, dtype=jnp.int32),
+        errors=errors)
     f_tail = executable_flops(
         jax.jit(lambda bk, bv, ti: engine._segment_frame(
             feats, bk, bv, front, ti)),
-        state.bank_k, state.bank_v, jnp.asarray(1, jnp.int32)) \
-        if n_tail else 0.0
+        state.bank_k, state.bank_v, jnp.asarray(1, jnp.int32),
+        errors=errors) if n_tail else 0.0
     f_ev = executable_flops(
         jax.jit(lambda m: engine._encode_value(
             feats, jnp.asarray(0, jnp.int32), m)),
-        jnp.zeros((1, *feats.images.shape[1:3]), jnp.float32))
+        jnp.zeros((1, *feats.images.shape[1:3]), jnp.float32),
+        errors=errors)
     if f_block is None or f_ev is None or f_tail is None:
-        return None
+        raise RuntimeError(f"sub-graph cost analysis failed: {errors}")
 
     # admission schedule: one per full block unless its last frame is the
     # pass end (idx=0 forward pass: end frame t-1 is never a block's last
@@ -302,9 +321,9 @@ def quality_delta(dtype_name: str = "bf16"):
     }
 
 
-def fit_stcn_briefly(images01, gt_masks, steps: int = 150, lr: float = 1e-3,
+def fit_stcn_briefly(images01, gt_masks, steps: int = 300, lr: float = 1e-3,
                      pos_w: float = 4.0, n_frames: int = 8,
-                     bce_target: float = 0.02):
+                     j_target: float = 0.75):
     """Briefly fit the flax PropagationNetwork ON THE BENCH VIDEO at
     production geometry (fp32) so the quality check runs at a mid-range J.
 
@@ -315,9 +334,13 @@ def fit_stcn_briefly(images01, gt_masks, steps: int = 150, lr: float = 1e-3,
     the fit geometry).  This fit (a) trains at the episode's own 480p
     geometry on a stride-8 frame subset of the bench video, (b) uses
     logit-space positive-weighted sigmoid BCE (gradient sigmoid(x) - y,
-    never zero), and (c) EARLY-STOPS at ``bce_target`` so the reference J
-    lands mid-range rather than saturating past the 0.98 degeneracy gate
-    (full convergence measures one-shot J 0.978, r4_fit_transfer3.json).
+    never zero), and (c) EARLY-STOPS on the MEASURED one-shot J (an aux
+    output of the loss, free) reaching ``j_target`` — the r4_bench_full1
+    lesson: a bce threshold (0.02) can stop with positives sitting at
+    p~=0.5, which thresholds to EMPTY masks (recorded J 0.0) even though
+    the loss looks converged.  Stopping at J>=0.75 lands the reference
+    episode mid-range, inside the [0.2, 0.98] degeneracy gate (full
+    convergence measures one-shot J 0.978, r4_fit_transfer3.json).
     The weights are synthetic-video-specific by design: the deep-quality
     check measures ENGINE parity at a useful quality level, not model
     generality.  Returns fp32 PropagationNetwork variables.
@@ -373,23 +396,31 @@ def fit_stcn_briefly(images01, gt_masks, steps: int = 150, lr: float = 1e-3,
         tgt = gt[1:]
         bce = -(pos_w * tgt * jax.nn.log_sigmoid(logits)
                 + (1 - tgt) * jax.nn.log_sigmoid(-logits))
-        return jnp.mean(bce)
+        # aux: the MEASURED one-shot J at threshold (logit>0 == prob>0.5,
+        # exactly how masks_from_prob binarizes a single object)
+        pred = logits > 0
+        pos = tgt > 0.5
+        inter = jnp.sum(pred & pos, axis=(-2, -1)).astype(jnp.float32)
+        union = jnp.sum(pred | pos, axis=(-2, -1)).astype(jnp.float32)
+        j = jnp.mean(inter / jnp.maximum(union, 1.0))
+        return jnp.mean(bce), j
 
     @jax.jit
     def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, j), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, j
 
-    loss = None
+    loss = j = None
     for i in range(steps):
-        params, opt_state, loss = step(params, opt_state)
-        # early stop on the PREVIOUS step's loss (device round-trip once
+        params, opt_state, loss, j = step(params, opt_state)
+        # early stop on the PREVIOUS step's metrics (device round-trip once
         # every 10 steps, not every step)
-        if i % 10 == 9 and float(loss) <= bce_target:
+        if i % 10 == 9 and float(j) >= j_target:
             break
     print(f"[bench] stcn brief fit: {i + 1} steps, final bce "
-          f"{float(loss):.4f}", file=sys.stderr)
+          f"{float(loss):.4f}, one-shot J {float(j):.3f}", file=sys.stderr)
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats
@@ -801,6 +832,11 @@ def run(quick: bool = False):
     for _ in range(iters):
         out = engine.interact(state0, feats, m0, 0)
         jax.block_until_ready(out.prob)
+    # one true host sync: block_until_ready alone can under-report through
+    # the tunnel (see the interactive section / r4_sync_probe); the
+    # dispatches execute serially on-device regardless, so a single
+    # end-of-loop 4-byte fetch bounds the measurement correctly
+    jax.device_get(out.certain_count)
     elapsed = time.perf_counter() - start
 
     frames = (t - 1) * iters
@@ -866,59 +902,82 @@ def run(quick: bool = False):
             # sessions produce SAM masks on device)
             masks_dev = pad_mask(masks.astype(np.float32), pad)
             jax.block_until_ready(masks_dev)
-            per_round = []  # (n_frames, seconds) per round, r >= 1
+
+            # Timing is WINDOW-based with a forced scalar device_get at
+            # each window edge: block_until_ready on DONATED outputs can
+            # return before execution completes through the axon tunnel
+            # (r4_bench_full1 recorded 0.5 ms "rounds" for ~300 ms of
+            # device work; experiments/r4_sync_probe.py).  Within a window
+            # the rounds chain through the donated state — a real data
+            # dependency, so device execution is serial — and ONE 4-byte
+            # certain_count fetch per edge amortizes the tunnel RTT
+            # instead of inflating every round.
+            edges = sorted({5, 10, max(11, rounds // 2), rounds})
+            edges = [e for e in edges if e <= rounds]
+            windows = []  # (start_round, end_round, frames, seconds)
+            wstart, wframes = 1, 0
+            t0 = None
             for r, idx in enumerate(order[:rounds]):
                 fwd = min((i for i in interacted if i > idx), default=t)
                 bwd = max((i for i in interacted if i < idx), default=-1)
                 n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
                 interacted.add(idx)
                 m = masks_dev[:, idx]
-                rt0 = time.perf_counter()
-                for attempt in range(3):
-                    # the donated interact is a distinct executable; its
-                    # first call can hit the same transient tunnel-compile
-                    # failures as the headline (r3_engine_bisect logs)
-                    try:
-                        state2 = engine.interact(state, feats, m, idx,
-                                                 donate=True)
-                        jax.block_until_ready(state2.prob)
-                        state = state2
-                        break
-                    except Exception as e:
-                        if r > 0 or attempt == 2 or not _is_transient(e):
-                            raise
-                        print(f"[bench] interactive compile attempt "
-                              f"{attempt + 1} failed (transient: {e!r}); "
-                              f"retrying", file=sys.stderr)
-                        # the failed call may have consumed the donated
-                        # buffers — rebuild the round-0 inputs so the retry
-                        # does not trip 'Array has been deleted'
-                        state = engine.init_state(feats, 1)
-                        time.sleep(20)
-                        rt0 = time.perf_counter()
-                if r > 0:  # round 0 is the donated-variant compile
-                    per_round.append((n_frames, time.perf_counter() - rt0))
+                if r == 0:
+                    # round 0 compiles the donated variant — excluded
+                    for attempt in range(3):
+                        try:
+                            state = engine.interact(state, feats, m, idx,
+                                                    donate=True)
+                            jax.device_get(state.certain_count)
+                            break
+                        except Exception as e:
+                            if attempt == 2 or not _is_transient(e):
+                                raise
+                            print(f"[bench] interactive compile attempt "
+                                  f"{attempt + 1} failed (transient: "
+                                  f"{e!r}); retrying", file=sys.stderr)
+                            # the failed call may have consumed the donated
+                            # buffers — rebuild the round-0 inputs so the
+                            # retry does not trip 'Array has been deleted'
+                            state = engine.init_state(feats, 1)
+                            interacted = {idx}
+                            time.sleep(20)
+                    t0 = time.perf_counter()
+                    continue
+                state = engine.interact(state, feats, m, idx, donate=True)
+                wframes += n_frames
+                if (r + 1) in edges or r == rounds - 1:
+                    jax.device_get(state.certain_count)  # true sync
+                    now = time.perf_counter()
+                    windows.append((wstart, r + 1, wframes, now - t0))
+                    wstart, wframes, t0 = r + 1, 0, now
 
-            def window(a, b):  # fps + seconds over rounds [a, b)
-                fr = sum(f for f, _ in per_round[a:b])
-                sec = sum(s for _, s in per_round[a:b])
-                return fr / sec if sec else 0.0, sec
+            def span(a, b):  # (frames, seconds) over rounds [a, b)
+                fr = sum(w[2] for w in windows if w[0] >= a and w[1] <= b)
+                sec = sum(w[3] for w in windows if w[0] >= a and w[1] <= b)
+                return fr, sec
 
-            fps10, sec10 = window(0, 9)
-            result["interactive_fps_72slot_honest"] = round(fps10, 2)
-            result["interactive_rounds_per_sec"] = round(
-                min(9, len(per_round)) / sec10, 3) if sec10 else 0.0
-            result["interactive_tail_fps_honest"] = round(
-                window(4, 9)[0], 2)
-            if len(per_round) > 30:
-                n = len(per_round)
+            fr10, sec10 = span(1, 10)
+            if sec10:
+                result["interactive_fps_72slot_honest"] = round(
+                    fr10 / sec10, 2)
+                result["interactive_rounds_per_sec"] = round(9 / sec10, 3)
+            frt, sect = span(5, 10)
+            if sect:
+                result["interactive_tail_fps_honest"] = round(
+                    frt / sect, 2)
+            if rounds > 30:
+                half = max(11, rounds // 2)
+                fr_all, sec_all = span(1, rounds)
+                fr_half, sec_half = span(half, rounds)
                 result["interactive_fps_60round"] = round(
-                    window(0, n)[0], 2)
+                    fr_all / sec_all, 2) if sec_all else 0.0
                 result["interactive_tail_fps_60round"] = round(
-                    window(n // 2, n)[0], 2)
-                result["interactive_rounds_60"] = n + 1
+                    fr_half / sec_half, 2) if sec_half else 0.0
+                result["interactive_rounds_60"] = rounds
                 result["interactive_tail_ms_per_round_60round"] = round(
-                    1e3 * window(n // 2, n)[1] / (n - n // 2), 1)
+                    1e3 * sec_half / (rounds - half), 1)
         except Exception as e:  # never sink the already-computed headline
             print(f"[bench] interactive session skipped: {e!r}",
                   file=sys.stderr)
