@@ -85,6 +85,29 @@ class Annotator:
                 mask_idx, max_iou = ii, iou
         return max_iou, mask_idx
 
+    def _predict_best(self, target, click_coords=None, click_labels=None,
+                      bbox=None, mask_input=None):
+        """One decode round + best-of-multimask selection vs ``target``.
+
+        Uses the controller's fused ``predict_select`` when available (the
+        JAX SAM keeps the selection math and the logit round-trip on
+        device — the generic path fetches ~5 MB of full-res logits per
+        click through the device tunnel).  Returns
+        ``(mask [1, H, W], max_iou, logits [1, low, low])`` with identical
+        semantics to ``predict`` + :meth:`best_sam_mask`.
+        """
+        ps = getattr(self.sam, "predict_select", None)
+        if ps is not None:
+            mask, max_iou, _, low = ps(
+                target, click_coords=click_coords,
+                click_labels=click_labels, bbox=bbox, mask_input=mask_input)
+            return np.asarray(mask)[None], max_iou, low[None]
+        masks, _, logits = self.sam.predict(
+            click_coords=click_coords, click_labels=click_labels, bbox=bbox,
+            mask_input=mask_input, multimask_output=True)
+        max_iou, idx = self.best_sam_mask(masks, target)
+        return np.asarray(masks[idx]), max_iou, logits[idx][None]
+
     def create_similar_samlogits(self, pred_mask):
         """Warm-start SAM so its logits reproduce the propagated mask."""
         pred = np.asarray(pred_mask).squeeze().astype(bool)
@@ -92,28 +115,23 @@ class Annotator:
             return None, None, None, None
 
         clicks, labels = self.click_robot.middle_click(pred)
-        masks, _, logits = self.sam.predict(click_coords=clicks, click_labels=labels)
-        max_iou, idx = self.best_sam_mask(masks, pred)
+        best_mask, max_iou, best_logits = self._predict_best(
+            pred, click_coords=clicks, click_labels=labels)
         if max_iou > SIMILAR_IOU_THRESHOLD:
-            return logits[idx][None], np.asarray(masks[idx]), clicks, labels
+            return best_logits, best_mask, clicks, labels
 
-        best_mask = np.asarray(masks[idx])
-        best_logits = logits[idx]
         prev_clicks, prev_labels = clicks, labels
 
         for _ in range(MAX_WARMSTART_TRIES):
             new_clicks, new_labels = self.click_robot.interact(best_mask, pred)
             prompt_clicks = np.concatenate([prev_clicks, new_clicks], 0)
             prompt_labels = np.concatenate([prev_labels, new_labels], 0)
-            masks, _, logits = self.sam.predict(
-                mask_input=best_logits[None], click_coords=prompt_clicks,
-                click_labels=prompt_labels, multimask_output=True)
-            max_iou, idx = self.best_sam_mask(masks, pred)
-            best_mask = np.asarray(masks[idx])
-            best_logits = logits[idx]
+            best_mask, max_iou, best_logits = self._predict_best(
+                pred, click_coords=prompt_clicks,
+                click_labels=prompt_labels, mask_input=best_logits)
             prev_clicks, prev_labels = prompt_clicks, prompt_labels
             if max_iou > SIMILAR_IOU_THRESHOLD:
-                return best_logits[None], best_mask, prompt_clicks, prompt_labels
+                return best_logits, best_mask, prompt_clicks, prompt_labels
         return None, None, None, None
 
     # ------------------------------------------------------------------
@@ -176,12 +194,9 @@ class Annotator:
                 prompt_clicks = np.concatenate([prev_clicks, new_clicks], 0)
                 prompt_labels = np.concatenate([prev_labels, new_labels], 0)
 
-            masks, _, logits = self.sam.predict(
-                click_coords=prompt_clicks, click_labels=prompt_labels,
-                mask_input=sam_logits, bbox=bbox, multimask_output=True)
-            curr_iou, idx = self.best_sam_mask(masks, gt)
-            sam_mask = np.asarray(masks[idx])
-            sam_logits = logits[idx][None]
+            sam_mask, curr_iou, sam_logits = self._predict_best(
+                gt, click_coords=prompt_clicks, click_labels=prompt_labels,
+                bbox=bbox, mask_input=sam_logits)
             prev_clicks, prev_labels = prompt_clicks, prompt_labels
 
         cost += ANNOTATION_COSTS["click_overhead"]
@@ -211,12 +226,9 @@ class Annotator:
                     prompt_clicks = np.concatenate([prompt_clicks, new_clicks], 0)
                     prompt_labels = np.concatenate([prompt_labels, new_labels], 0)
 
-            masks, _, logits = self.sam.predict(
-                click_coords=prompt_clicks, click_labels=prompt_labels,
-                mask_input=sam_logits, bbox=bbox, multimask_output=True)
-            curr_iou, idx = self.best_sam_mask(masks, gt)
-            sam_mask = np.asarray(masks[idx])
-            sam_logits = logits[idx][None]
+            sam_mask, curr_iou, sam_logits = self._predict_best(
+                gt, click_coords=prompt_clicks, click_labels=prompt_labels,
+                bbox=bbox, mask_input=sam_logits)
 
         if new_clicks_used:
             cost += ANNOTATION_COSTS["click_overhead"]

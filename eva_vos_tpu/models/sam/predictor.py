@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .build import Sam, SamConfig, PIXEL_MEAN, PIXEL_STD
 from .prompt_encoder import PAD_LABEL, NOT_A_POINT
+from ...ops.metrics import SMOOTH
 
 MASK_THRESHOLD = 0.0
 
@@ -50,6 +51,7 @@ class SamPredictor:
                     p, e_, c_, l_, m_, hm_, method="decode"),
             )(emb, c, l, m, hm))
         self._upscale = jax.jit(self._upscale_fn)
+        self._select_cache = {}  # (sel_start, n_sel, orig, input) -> jitted
 
         self.reset_image()
 
@@ -164,6 +166,94 @@ class SamPredictor:
 
 
     # ------------------------------------------------------------------
+    # fused decode + best-mask selection (interactive refinement loops)
+    # ------------------------------------------------------------------
+    def _build_decode_select(self, sel_start: int, n_sel: int,
+                             original_size, input_size):
+        """One jitted graph: decode -> upscale -> threshold -> per-mask
+        intersection/union vs a target.  The refinement loops
+        (``annotator.py`` warm start + click rounds) call ``predict`` once
+        per click and fetch FULL-RES fp32 logits to the host every round
+        (~5 MB) just to pick the best of 3 masks — through a tunneled
+        device that transfer dominates the whole chain
+        (experiments/r4_sync_probe.py: device_get ~13 MB/s).  Fusing the
+        selection math on device shrinks the per-round fetch to 2 int
+        vectors + one bit-packed mask."""
+        cfg = self.cfg
+        sam = self.sam
+
+        def fused(params, emb, coords, labels, m, hm, tgt):
+            low, _ = sam.apply(params, emb, coords, labels, m, hm,
+                               method="decode")
+            low = low[sel_start:sel_start + n_sel]
+            up = jax.image.resize(
+                low.astype(jnp.float32),
+                (n_sel, cfg.img_size, cfg.img_size), method="bilinear")
+            up = up[:, :input_size[0], :input_size[1]]
+            full = jax.image.resize(up, (n_sel, *original_size),
+                                    method="bilinear")
+            pred = full > MASK_THRESHOLD
+            t = tgt[None]
+            inter = jnp.sum(pred & t, axis=(1, 2), dtype=jnp.int32)
+            union = jnp.sum(pred | t, axis=(1, 2), dtype=jnp.int32)
+            packed = jnp.packbits(pred, axis=-1)
+            return inter, union, packed, low
+
+        return jax.jit(fused)
+
+    def predict_select(self, target_mask, point_coords=None,
+                       point_labels=None, box=None, mask_input=None,
+                       multimask_output: bool = True):
+        """Decode and pick the highest-IoU mask vs ``target_mask`` without
+        round-tripping full-resolution logits through the host.
+
+        Semantics match ``predict`` + the reference's ``best_sam_mask``
+        (``annotator/annotator.py:38-57``): smoothed IoU, first strict
+        improvement wins, ``idx == -1`` (-> last mask) when every candidate
+        has zero IoU.  Returns ``(mask [H, W] bool, max_iou, idx,
+        low_res_logits [low, low] DEVICE array)`` — the logits stay on
+        device so the next round's ``mask_input`` costs no transfer.
+        """
+        assert self.is_image_set, "set_image must be called before predict"
+        coords, labels = self._build_prompts(point_coords, point_labels, box)
+
+        if mask_input is not None:
+            m = jnp.asarray(mask_input)
+            m = m.reshape(m.shape[-2:])
+            has_mask = True
+        else:
+            m = jnp.zeros((self.cfg.low_res, self.cfg.low_res), jnp.float32)
+            has_mask = False
+
+        sel_start, n_sel = (1, 3) if multimask_output else (0, 1)
+        key = (sel_start, n_sel, self.original_size, self.input_size)
+        fn = self._select_cache.get(key)
+        if fn is None:
+            fn = self._build_decode_select(sel_start, n_sel,
+                                           self.original_size,
+                                           self.input_size)
+            self._select_cache[key] = fn
+
+        tgt = jnp.asarray(np.asarray(target_mask).squeeze().astype(bool))
+        inter, union, packed, low = fn(
+            self.params, self.features, jnp.asarray(coords),
+            jnp.asarray(labels), m.astype(self.sam.dtype),
+            jnp.asarray(has_mask), tgt)
+
+        inter = np.asarray(inter, np.float64)
+        union = np.asarray(union, np.float64)
+        ious = (inter + SMOOTH) / (union + SMOOTH)
+        mask_idx, max_iou = -1, 0.0
+        for ii in range(n_sel):
+            if ious[ii] > max_iou:
+                mask_idx, max_iou = ii, float(ious[ii])
+        eff = mask_idx if mask_idx >= 0 else n_sel - 1
+
+        mask = np.unpackbits(np.asarray(packed[eff]), axis=-1,
+                             count=self.original_size[1]).astype(bool)
+        return mask, max_iou, mask_idx, low[eff]
+
+    # ------------------------------------------------------------------
     # batched paths (vectorized PPO envs)
     # ------------------------------------------------------------------
     def encode_images(self, images) -> jnp.ndarray:
@@ -272,3 +362,14 @@ class SAMController:
             point_coords=click_coords, point_labels=click_labels, box=bbox,
             mask_input=mask_input, multimask_output=multimask_output)
         return masks[:, None], scores, logits  # [n, 1, H, W]
+
+    def predict_select(self, target_mask, click_coords=None,
+                       click_labels=None, bbox=None, mask_input=None,
+                       multimask_output=True):
+        """Fused decode + best-vs-target selection (see
+        ``SamPredictor.predict_select``)."""
+        assert self.embedded, "prediction called before set_image"
+        return self.predictor.predict_select(
+            target_mask, point_coords=click_coords,
+            point_labels=click_labels, box=bbox, mask_input=mask_input,
+            multimask_output=multimask_output)

@@ -142,3 +142,131 @@ class TestController:
         assert masks.shape == (3, 1, 80, 100)
         ctrl.reset_image()
         assert not ctrl.embedded
+
+
+@pytest.mark.slow
+class TestFusedSelect:
+    """predict_select must reproduce predict + the reference best_sam_mask
+    selection exactly (same best mask, same smoothed IoU, same idx) while
+    keeping the logit round-trip on device."""
+
+    def _reference_select(self, predictor, target, **kw):
+        from eva_vos_tpu.ops.metrics import compute_iou
+
+        masks, _, logits = predictor.predict(
+            point_coords=kw.get("point_coords"),
+            point_labels=kw.get("point_labels"), box=kw.get("box"),
+            mask_input=kw.get("mask_input"),
+            multimask_output=kw.get("multimask_output", True))
+        tgt = np.asarray(target).squeeze()[None].astype(bool)
+        mask_idx, max_iou = -1, 0.0
+        for ii, gen in enumerate(np.asarray(masks)):
+            iou = compute_iou(np.asarray(gen, dtype=bool)[None], tgt)
+            if iou > max_iou:
+                mask_idx, max_iou = ii, iou
+        eff = mask_idx if mask_idx >= 0 else len(masks) - 1
+        return masks[eff], max_iou, mask_idx, logits[eff]
+
+    @pytest.mark.parametrize("multi", [True, False])
+    def test_matches_generic_path(self, predictor, rng, multi):
+        img = (rng.uniform(0, 1, (61, 96, 3)) * 255).astype(np.uint8)
+        predictor.set_image(img)
+        target = np.zeros((61, 96), bool)
+        target[20:40, 30:60] = True
+
+        coords = np.array([[45.0, 30.0], [10.0, 10.0]])
+        labels = np.array([1, 0])
+        ref_mask, ref_iou, ref_idx, ref_low = self._reference_select(
+            predictor, target, point_coords=coords, point_labels=labels,
+            multimask_output=multi)
+        mask, iou, idx, low = predictor.predict_select(
+            target, point_coords=coords, point_labels=labels,
+            multimask_output=multi)
+
+        assert idx == ref_idx
+        assert iou == pytest.approx(ref_iou, abs=0, rel=0)
+        np.testing.assert_array_equal(mask, ref_mask)
+        np.testing.assert_allclose(np.asarray(low, np.float32), ref_low,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_mask_input_round_trip_and_box(self, predictor, rng):
+        img = (rng.uniform(0, 1, (61, 96, 3)) * 255).astype(np.uint8)
+        predictor.set_image(img)
+        target = np.zeros((61, 96), bool)
+        target[10:35, 20:70] = True
+        coords = np.array([[40.0, 20.0]])
+        labels = np.array([1])
+        box = np.array([18.0, 8.0, 72.0, 37.0])
+
+        # round 1 (box + click), round 2 feeds round 1's logits back
+        _, _, _, low = predictor.predict_select(
+            target, point_coords=coords, point_labels=labels, box=box)
+        mask2, iou2, idx2, _ = predictor.predict_select(
+            target, point_coords=coords, point_labels=labels, box=box,
+            mask_input=low[None])
+
+        _, _, _, ref_low = self._reference_select(
+            predictor, target, point_coords=coords, point_labels=labels,
+            box=box)
+        ref_mask2, ref_iou2, ref_idx2, _ = self._reference_select(
+            predictor, target, point_coords=coords, point_labels=labels,
+            box=box, mask_input=np.asarray(ref_low)[None])
+
+        assert idx2 == ref_idx2
+        assert iou2 == pytest.approx(ref_iou2, rel=1e-12)
+        np.testing.assert_array_equal(mask2, ref_mask2)
+
+
+@pytest.mark.slow
+class TestAnnotatorFusedParity:
+    """The Annotator must produce identical episodes through the fused
+    controller path and the generic predict path."""
+
+    def _run(self, controller, rng_seed=3):
+        from eva_vos_tpu.annotator import Annotator
+
+        rng = np.random.default_rng(rng_seed)
+        im = rng.uniform(-1, 1, (61, 96, 3)).astype(np.float32)
+        gt = np.zeros((61, 96), np.float32)
+        gt[18:42, 25:65] = 1.0
+        pred = np.roll(gt, (4, 7), axis=(0, 1)).astype(bool)
+
+        annotator = Annotator(controller)
+        return annotator.get_mask(
+            annotation_type="click", num_prompts=2, gt_mask=gt, im=im,
+            mivos_mask=pred, cache_key=0)
+
+    def test_click_episode_identical(self, tiny_sam):
+        sam, params = tiny_sam
+
+        class GenericOnly:
+            """Controller facade without predict_select."""
+
+            def __init__(self, ctrl):
+                self._c = ctrl
+
+            def __getattr__(self, name):
+                if name == "predict_select":
+                    raise AttributeError(name)
+                return getattr(self._c, name)
+
+        fused_ctrl = SAMController(SamPredictor(sam, params, max_points=64))
+        generic_ctrl = GenericOnly(
+            SAMController(SamPredictor(sam, params, max_points=64)))
+
+        m1, c1, q1, l1, cl1, lb1, bb1 = self._run(fused_ctrl)
+        m2, c2, q2, l2, cl2, lb2, bb2 = self._run(generic_ctrl)
+
+        assert c1 == c2
+        assert q1 == pytest.approx(q2, rel=1e-12)
+        np.testing.assert_array_equal(np.asarray(m1, bool),
+                                      np.asarray(m2, bool))
+        if cl1 is None:
+            assert cl2 is None
+        else:
+            np.testing.assert_array_equal(cl1, cl2)
+            np.testing.assert_array_equal(lb1, lb2)
+        if l1 is not None and l2 is not None:
+            np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                       np.asarray(l2, np.float32),
+                                       rtol=1e-5, atol=1e-5)
