@@ -114,16 +114,21 @@ def executable_flops(jitted, *args, errors: list = None, **kwargs):
         if errors is not None:
             errors.append(f"lower: {e!r}")
         return None
-    for stage in ("lowered", "compiled"):
-        try:
-            analysis = (lowered.cost_analysis() if stage == "lowered"
-                        else lowered.compile().cost_analysis())
-            if isinstance(analysis, (list, tuple)):
-                analysis = analysis[0]
-            return float(analysis["flops"])
-        except Exception as e:
-            if errors is not None:
-                errors.append(f"{stage}: {e!r}")
+    for attempt in range(3):
+        for stage in ("lowered", "compiled"):
+            try:
+                analysis = (lowered.cost_analysis() if stage == "lowered"
+                            else lowered.compile().cost_analysis())
+                if isinstance(analysis, (list, tuple)):
+                    analysis = analysis[0]
+                return float(analysis["flops"])
+            except Exception as e:
+                if errors is not None:
+                    errors.append(f"{stage}: {e!r}")
+                transient = stage == "compiled" and _is_transient(e)
+        if not transient:
+            break
+        time.sleep(15)  # tunnel-compile flake; the lowering is reusable
     return None
 
 
@@ -159,21 +164,25 @@ def executed_interact_flops(engine, feats, idx: int = 0):
     state = engine.init_state(feats, 1)
     front = jnp.asarray(1, jnp.int32)
 
+    # feats MUST be a jit argument, not a closure: closed-over device arrays
+    # are baked into the MLIR as literal constants, and the ~100 MB request
+    # body overflows the remote-compile tunnel (r4_bench_full2: HTTP 413 +
+    # broken pipes on exactly these sub-graphs)
     errors = []
     f_block = executable_flops(
-        jax.jit(lambda bk, bv, tis: engine._segment_frames_batched(
-            feats, bk, bv, front, tis)),
-        state.bank_k, state.bank_v, jnp.arange(bsz, dtype=jnp.int32),
-        errors=errors)
+        jax.jit(lambda fts, bk, bv, tis: engine._segment_frames_batched(
+            fts, bk, bv, front, tis)),
+        feats, state.bank_k, state.bank_v,
+        jnp.arange(bsz, dtype=jnp.int32), errors=errors)
     f_tail = executable_flops(
-        jax.jit(lambda bk, bv, ti: engine._segment_frame(
-            feats, bk, bv, front, ti)),
-        state.bank_k, state.bank_v, jnp.asarray(1, jnp.int32),
+        jax.jit(lambda fts, bk, bv, ti: engine._segment_frame(
+            fts, bk, bv, front, ti)),
+        feats, state.bank_k, state.bank_v, jnp.asarray(1, jnp.int32),
         errors=errors) if n_tail else 0.0
     f_ev = executable_flops(
-        jax.jit(lambda m: engine._encode_value(
-            feats, jnp.asarray(0, jnp.int32), m)),
-        jnp.zeros((1, *feats.images.shape[1:3]), jnp.float32),
+        jax.jit(lambda fts, m: engine._encode_value(
+            fts, jnp.asarray(0, jnp.int32), m)),
+        feats, jnp.zeros((1, *feats.images.shape[1:3]), jnp.float32),
         errors=errors)
     if f_block is None or f_ev is None or f_tail is None:
         raise RuntimeError(f"sub-graph cost analysis failed: {errors}")
