@@ -101,7 +101,8 @@ def main(argv=None):
                           ).astype(np.uint8)
                 save_png(out_root / "Images" / f"{state_id}.png", img_u8)
                 save_png(out_root / "Masks" / f"{state_id}.png",
-                         (gen_masks[frame] * 255).astype(np.uint8))
+                         (np.asarray(gen_masks[frame]) * 255)
+                         .astype(np.uint8))
 
                 annotator.set_image_to_sam(im, cache_key=frame)
                 emb = np.asarray(annotator.sam.get_image_embedding(),

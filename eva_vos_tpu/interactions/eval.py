@@ -68,6 +68,8 @@ class Session:
     pf_annots: list = field(default_factory=list)
     timers: WallClock = field(default_factory=WallClock)
     gt_dev: Optional[object] = None   # device-cached [T, H, W] bool gt
+    sam_dev: Optional[object] = None  # device mirror of masks_from_sam
+    sam_dirty: set = field(default_factory=set)  # frames to mirror
 
     @property
     def num_frames(self) -> int:
@@ -98,6 +100,8 @@ class Session:
             annotation_times=list(self.annotation_times),
             masks_from_sam=dict(self.masks_from_sam),
             pf_annots=copy.deepcopy(self.pf_annots),
+            gt_dev=self.gt_dev, sam_dev=self.sam_dev,
+            sam_dirty=set(self.sam_dirty),
         )
 
 
@@ -146,33 +150,73 @@ def eval_session_metric(session: Session, metric: str = "j"):
         return _eval_session_metric(session, metric)
 
 
+def _device_gen_masks(prob, gt, sam, itype, pad):
+    """Argmax masks + interacted-frame overrides, fully on device.
+
+    Semantics identical to the host loop above the metric in the reference
+    (``eval.py:57-64``): type-1 frames take the (bool) gt, type-2 frames the
+    stored SAM mask.  Keeping ``gen_masks`` device-resident removes the
+    per-round [T, H, W] round-trips (fetch for overrides + re-upload for the
+    metric + re-upload for the QNet mask resize) that dominate policy-loop
+    wall time through a tunneled device (~13 MB/s, r4_sync_probe)."""
+    import jax.numpy as jnp
+
+    from ..ops.padding import unpad_hw
+
+    unp = unpad_hw(prob, pad)
+    gen = jnp.argmax(unp, axis=0) > 0  # K == 1 on eval paths
+    t1 = itype[:, None, None] == 1
+    t2 = itype[:, None, None] == 2
+    return jnp.where(t1, gt, jnp.where(t2, sam > 0, gen)).astype(jnp.float32)
+
+
+_DEVICE_GEN_JIT = None
+
+
+def _flush_sam_dev(session: Session):
+    """Mirror newly stored SAM masks into the session's device buffer (one
+    jitted dynamic-update per dirty frame; frame index is traced, so all
+    updates share a single compiled program)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = session.num_frames
+    h, w = session.sample.gt.shape[2:]
+    if session.sam_dev is None:
+        session.sam_dev = jnp.zeros((t, h, w), jnp.float32)
+    if not session.sam_dirty:
+        return
+
+    @jax.jit
+    def set_frame(buf, f, m):
+        return jax.lax.dynamic_update_index_in_dim(buf, m, f, 0)
+
+    for f in sorted(session.sam_dirty):
+        m = jnp.asarray(np.asarray(session.masks_from_sam[f],
+                                   np.float32).squeeze())
+        session.sam_dev = set_frame(session.sam_dev,
+                                    jnp.asarray(f, jnp.int32), m)
+    session.sam_dirty.clear()
+
+
 def _eval_session_metric(session: Session, metric: str):
-    ids = session.engine.masks_from_prob(session.state.prob, session.pad)
-    gen_masks = (ids > 0).astype(np.float32)  # K == 1 on eval paths
-
-    interacted = set(session.frames_list)
-    gt_all = session.sample.gt[0]
-
-    # interacted-frame overrides first (reference applies them before the
-    # per-frame metric, eval.py:57-64)
-    for f in interacted:
-        if session.frame_interaction_type[f] == 1:
-            gen_masks[f] = gt_all[f].astype(bool)
-        elif session.frame_interaction_type[f] == 2:
-            gen_masks[f] = np.asarray(
-                session.masks_from_sam[f]).squeeze().astype(bool)
-
-    # per-frame quality for ALL frames in one device-batched call
-    # (bit-equal to the per-frame host loop — integer counts on device,
-    # float64 assembly on host; the host loop costs ~13 ms/frame at 480p
-    # for j_and_f, ~0.8 s/round on a 60-frame video).  EVAVOS_HOST_METRICS
-    # restores the per-frame loop for cross-checking.
     import os
 
     from ..ops.metrics import quality_batch
 
+    gt_all = session.sample.gt[0]
     gt_sums = gt_all.reshape(gt_all.shape[0], -1).astype(bool).sum(axis=1)
+
     if os.environ.get("EVAVOS_HOST_METRICS"):
+        # host cross-check path: the original per-frame loop, end to end
+        ids = session.engine.masks_from_prob(session.state.prob, session.pad)
+        gen_masks = (ids > 0).astype(np.float32)
+        for f in set(session.frames_list):
+            if session.frame_interaction_type[f] == 1:
+                gen_masks[f] = gt_all[f].astype(bool)
+            elif session.frame_interaction_type[f] == 2:
+                gen_masks[f] = np.asarray(
+                    session.masks_from_sam[f]).squeeze().astype(bool)
         qs = [compute_iou(gen_masks[f].astype(bool)[None],
                           gt_all[f].astype(bool)[None]) if metric == "j"
               else get_j_and_f(gt_all[f].astype(bool)[None],
@@ -180,10 +224,23 @@ def _eval_session_metric(session: Session, metric: str):
               for f in range(session.num_frames)]
         qs = np.asarray(qs, np.float64)
     else:
-        if session.gt_dev is None:
-            import jax.numpy as jnp
+        # device path: masks, overrides, and metric counts never leave the
+        # chip; only the [T, 2] count vector is fetched.  Bit-equal to the
+        # host loop (integer counts on device, float64 assembly on host).
+        import jax
+        import jax.numpy as jnp
 
+        if session.gt_dev is None:
             session.gt_dev = jnp.asarray(gt_all.astype(bool))
+        _flush_sam_dev(session)
+        itype = jnp.asarray(session.frame_interaction_type, jnp.int32)
+
+        global _DEVICE_GEN_JIT
+        if _DEVICE_GEN_JIT is None:
+            _DEVICE_GEN_JIT = jax.jit(_device_gen_masks,
+                                      static_argnums=(4,))
+        gen_masks = _DEVICE_GEN_JIT(session.state.prob, session.gt_dev,
+                                    session.sam_dev, itype, session.pad)
         qs = quality_batch(session.gt_dev, gen_masks.astype(bool), metric)
 
     frame_quality, frame_quality_all = [], []

@@ -53,7 +53,8 @@ def _mask_round_loop(engine, sample, rounds, select_frame, eval_metric="j",
         session.frames_list.append(int(selected))
 
         if collect_states:
-            per_round["gen_masks"].append(gen_masks.copy())
+            # host snapshot: the dataset generator writes PNGs from these
+            per_round["gen_masks"].append(np.asarray(gen_masks))
             per_round["frames"].append(int(selected))
             per_round["metrics"].append(list(metric))
             per_round["times"].append(cost)

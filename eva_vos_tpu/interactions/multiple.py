@@ -89,6 +89,7 @@ def store_action_data(session: Session, frame: int, ann_action: str,
     session.frame_interaction_type[frame] = 2
     mask = np.asarray(sam_mask).squeeze().astype(np.float32)
     session.masks_from_sam[frame] = mask
+    session.sam_dirty.add(frame)  # device mirror refreshed at next eval
     rec = session.pf_annots[frame]
     rec["click_labels"] = labels
     rec["click_coords"] = clicks
