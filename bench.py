@@ -436,6 +436,135 @@ def fit_stcn_briefly(images01, gt_masks, steps: int = 300, lr: float = 1e-3,
     return jax.tree.map(lambda x: np.asarray(x, np.float32), out)
 
 
+def fit_fusion_briefly(images01, gt_masks, stcn_vars, steps: int = 300,
+                       lr: float = 1e-3, pos_w: float = 4.0,
+                       n_frames: int = 8, j_target: float = 0.8):
+    """Briefly fit the FusionNet on REAL fusion tuples from the fitted STCN.
+
+    A random-init FusionNet emits logits ~= -1 everywhere (sigmoid ~0.27),
+    so the first multi-pass fuse wipes every in-between frame to empty —
+    the r4_bench_full2 degeneracy: one-shot J 0.879 after the STCN fit, yet
+    episode J 0.0 in BOTH stacks after the 2nd/3rd interaction (the fusion
+    runs with the same exported weights on the torch side,
+    ``inference_core.py:193-207``).
+
+    Training tuples mirror the episode's second interaction: ``prev`` =
+    one-shot propagation from frame 0, ``curr`` = from the last frame,
+    attention maps from ``get_attention`` at the second interaction's mask
+    diff, distance scalars per ``_fuse_frame``.  Only fusion params train;
+    the STCN stays frozen.  Returns fp32 FusionNet variables.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from eva_vos_tpu.models import PropagationNetwork, FusionNet
+    from eva_vos_tpu.ops.memory_attention import memory_readout
+    from eva_vos_tpu.ops.normalize import im_normalize
+    from eva_vos_tpu.ops.padding import compute_pad, pad_hw
+
+    stcn = PropagationNetwork(top_k=50, dtype=jnp.float32)
+    sv = jax.tree.map(jnp.asarray, stcn_vars)
+    t_all, h, w = images01.shape[:3]
+    stride = max(1, t_all // n_frames)
+    sel = list(range(0, t_all, stride))[:n_frames]
+    pad = compute_pad(h, w, 16)
+    frames = pad_hw(im_normalize(jnp.asarray(images01[sel], jnp.float32)),
+                    pad, h_axis=1, w_axis=2)
+    gt = pad_hw(jnp.asarray(gt_masks[0][sel], jnp.float32), pad,
+                h_axis=-2, w_axis=-1)
+    t = len(sel)
+    last = t - 1
+
+    @jax.jit
+    def gen_tuples():
+        feats = jax.lax.map(
+            lambda fr: stcn.apply(sv, fr, method="encode_key"), frames)
+        h16, w16 = feats.k16.shape[1:3]
+        hw16 = h16 * w16
+        k16 = feats.k16.reshape(t, hw16, -1)
+
+        def one_shot(anchor):
+            mv = stcn.apply(sv, frames[anchor], feats.f16[anchor],
+                            gt[anchor][None],
+                            method="encode_value").reshape(1, hw16, -1)
+
+            def seg(i):
+                ro = memory_readout(k16[anchor], k16[i], mv,
+                                    top_k=min(50, hw16), strategy="scatter")
+                ro = ro.reshape(1, h16, w16, -1)
+                logit = stcn.apply(sv, ro, feats.f16_thin[i], feats.f8[i],
+                                   feats.f4[i],
+                                   method="decode_with_readout",
+                                   return_logits=True)
+                return jax.nn.sigmoid(logit[0])        # [H, W] prob
+
+            return jax.lax.map(seg, jnp.arange(t))     # [t, H, W]
+
+        prev = one_shot(0)                             # from frame 0
+        curr = one_shot(last)                          # from the last frame
+
+        # the second interaction's mask diff (inference_core.py:222-224)
+        diff = gt[last] - prev[last]
+        pos_diff = jnp.clip(diff, 0.0, 1.0)[None]
+        neg_diff = jnp.clip(-diff, 0.0, 1.0)[None]
+
+        def attn_of(i):
+            return stcn.apply(sv, feats.k16[last], pos_diff, neg_diff,
+                              feats.k16[i], method="get_attention")[0]
+
+        attn = jax.lax.map(attn_of, jnp.arange(t))     # [t, H, W, 2]
+        return prev, curr, attn
+
+    prev, curr, attn = gen_tuples()
+    # distance scalars per _fuse_frame: tc = last interaction, tr = 0
+    tc, tr = float(sel[last]), float(sel[0])
+    tis = jnp.asarray([float(sel[i]) for i in range(t)], jnp.float32)
+    denom = abs(tc - tr)
+    dist = jnp.stack([jnp.abs(tc - tis) / denom,
+                      jnp.abs(tr - tis) / denom], axis=-1)  # [t, 2]
+
+    mid = jnp.asarray([i for i in range(t) if i not in (0, last)])
+    fusion = FusionNet(dtype=jnp.float32)
+    fv = fusion.init(jax.random.PRNGKey(2), frames[0], prev[0], curr[0],
+                     attn[0], dist[0])
+    pf = fv["params"]
+    opt = optax.adam(lr)
+    opt_state = opt.init(pf)
+
+    def loss_fn(pf):
+        def fuse(i):
+            return fusion.apply({"params": pf}, frames[i], prev[i],
+                                curr[i], attn[i], dist[i])
+
+        logits = jax.lax.map(fuse, mid)
+        tgt = gt[mid]
+        bce = -(pos_w * tgt * jax.nn.log_sigmoid(logits)
+                + (1 - tgt) * jax.nn.log_sigmoid(-logits))
+        pred = logits > 0
+        pos = tgt > 0.5
+        inter = jnp.sum(pred & pos, axis=(-2, -1)).astype(jnp.float32)
+        union = jnp.sum(pred | pos, axis=(-2, -1)).astype(jnp.float32)
+        j = jnp.mean(inter / jnp.maximum(union, 1.0))
+        return jnp.mean(bce), j
+
+    @jax.jit
+    def step(pf, opt_state):
+        (loss, j), grads = jax.value_and_grad(loss_fn, has_aux=True)(pf)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(pf, updates), opt_state, loss, j
+
+    loss = j = None
+    for i in range(steps):
+        pf, opt_state, loss, j = step(pf, opt_state)
+        if i % 10 == 9 and float(j) >= j_target:
+            break
+    print(f"[bench] fusion brief fit: {i + 1} steps, final bce "
+          f"{float(loss):.4f}, fused J {float(j):.3f}", file=sys.stderr)
+    return jax.tree.map(lambda x: np.asarray(x, np.float32),
+                        {"params": pf})
+
+
 def deep_quality(engine, feats, images, gt, pad, stcn_fp32_vars,
                  fusion_fp32_vars, interactions=(0, None, 10),
                  top_k: int = 50):
@@ -782,12 +911,26 @@ def run(quick: bool = False):
     if fp32_stcn is None:
         sp = stcn.init(jax.random.PRNGKey(0), frame0, mask0,
                        method="init_all")
-    fp32_fusion_init = FusionNet(dtype=jnp.float32).init(
-        jax.random.PRNGKey(1), jnp.zeros((ph, pw, 3), jnp.float32),
-        jnp.zeros((ph, pw), jnp.float32), jnp.zeros((ph, pw), jnp.float32),
-        jnp.zeros((ph, pw, 2), jnp.float32), jnp.zeros((2,), jnp.float32))
-    fp32_fusion = jax.tree.map(lambda x: np.asarray(x, np.float32),
-                               fp32_fusion_init)
+    fp32_fusion = None
+    if not quick and fp32_stcn is not None:
+        # fusion must also be fitted: a random-init FusionNet outputs
+        # logit ~ -1 everywhere and the 2nd/3rd interaction's fuse wipes
+        # the episode to empty masks in BOTH stacks (r4_bench_full2)
+        try:
+            fp32_fusion = fit_fusion_briefly(images, masks, fp32_stcn)
+        except Exception as e:
+            print(f"[bench] fusion brief fit failed ({e!r}); random init",
+                  file=sys.stderr)
+            fp32_fusion = None
+    if fp32_fusion is None:
+        fp32_fusion_init = FusionNet(dtype=jnp.float32).init(
+            jax.random.PRNGKey(1), jnp.zeros((ph, pw, 3), jnp.float32),
+            jnp.zeros((ph, pw), jnp.float32),
+            jnp.zeros((ph, pw), jnp.float32),
+            jnp.zeros((ph, pw, 2), jnp.float32),
+            jnp.zeros((2,), jnp.float32))
+        fp32_fusion = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                                   fp32_fusion_init)
     fp = jax.tree.map(lambda x: jnp.asarray(x, dtype), fp32_fusion)
 
     cfg = EngineConfig(mem_freq=5, top_k=top_k,
@@ -987,6 +1130,14 @@ def run(quick: bool = False):
                 result["interactive_rounds_60"] = rounds
                 result["interactive_tail_ms_per_round_60round"] = round(
                     1e3 * sec_half / (rounds - half), 1)
+                # at T == rounds the final half-session propagates ~0 frames
+                # (every gap is closed), so its fps is degenerate by
+                # construction — the late-ACTIVE window is rounds 10..half
+                fr_la, sec_la = span(10, half)
+                if sec_la:
+                    result["interactive_fps_rounds10_30"] = round(
+                        fr_la / sec_la, 2)
+                result["interactive_session60_s"] = round(sec_all, 2)
         except Exception as e:  # never sink the already-computed headline
             print(f"[bench] interactive session skipped: {e!r}",
                   file=sys.stderr)
