@@ -273,10 +273,23 @@ def rl_agent_annotate(annotator, rl_agent_act, mivos_mask, gt_mask, im,
                 "no_object", None, None, None, None, 0)
 
     annotator.set_image_to_sam(im, cache_key=frame)
-    emb = np.asarray(annotator.sam.get_image_embedding())  # [256, 64, 64]
-    emb = np.transpose(emb, (1, 2, 0))[None]               # [1, 64, 64, 256]
-    mask224 = np.asarray(masks_to_224_3ch(
-        np.asarray(mivos_mask, np.float32).squeeze()[None]))
+    feats_dev = getattr(getattr(annotator.sam, "predictor", None),
+                        "features", None)
+    if feats_dev is not None:
+        # device-resident embedding: the official-layout fetch + transpose
+        # + re-upload costs ~4 MB of tunnel round-trip per round for a
+        # layout change the agent net immediately undoes
+        import jax.numpy as jnp
+
+        emb = jnp.asarray(feats_dev, jnp.float32)[None]    # [1, S, S, 256]
+    else:
+        emb = np.asarray(annotator.sam.get_image_embedding())
+        emb = np.transpose(emb, (1, 2, 0))[None]           # [1, 64, 64, 256]
+    import jax
+
+    m = (mivos_mask.astype("float32") if isinstance(mivos_mask, jax.Array)
+         else np.asarray(mivos_mask, np.float32))  # device slices stay put
+    mask224 = masks_to_224_3ch(m.squeeze()[None])
 
     action, value = rl_agent_act(emb, mask224)
     avail_actions = ["3clicks", "mask"]
