@@ -937,8 +937,6 @@ def run(quick: bool = False):
                        max_interactions=4 if quick else 60,
                        feature_chunk=2)
     engine = InferenceEngine(stcn, fusion, sp, fp, cfg)
-    import sys
-
     strat = engine.config.readout_strategy
     probe = "passed" if strat.startswith("pallas") else "not used"
     print(f"[bench] readout strategy: {strat} (pallas kernel probe {probe})",
