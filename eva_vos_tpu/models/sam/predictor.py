@@ -169,7 +169,8 @@ class SamPredictor:
     # fused decode + best-mask selection (interactive refinement loops)
     # ------------------------------------------------------------------
     def _build_decode_select(self, sel_start: int, n_sel: int,
-                             original_size, input_size):
+                             original_size, input_size,
+                             pack_bits: bool = True):
         """One jitted graph: decode -> upscale -> threshold -> per-mask
         intersection/union vs a target.  The refinement loops
         (``annotator.py`` warm start + click rounds) call ``predict`` once
@@ -196,7 +197,8 @@ class SamPredictor:
             t = tgt[None]
             inter = jnp.sum(pred & t, axis=(1, 2), dtype=jnp.int32)
             union = jnp.sum(pred | t, axis=(1, 2), dtype=jnp.int32)
-            packed = jnp.packbits(pred, axis=-1)
+            packed = (jnp.packbits(pred, axis=-1) if pack_bits
+                      else pred.astype(jnp.uint8))
             return inter, union, packed, low
 
         return jax.jit(fused)
@@ -227,18 +229,29 @@ class SamPredictor:
 
         sel_start, n_sel = (1, 3) if multimask_output else (0, 1)
         key = (sel_start, n_sel, self.original_size, self.input_size)
-        fn = self._select_cache.get(key)
-        if fn is None:
-            fn = self._build_decode_select(sel_start, n_sel,
-                                           self.original_size,
-                                           self.input_size)
-            self._select_cache[key] = fn
+        entry = self._select_cache.get(key)
+        if entry is None:
+            entry = [self._build_decode_select(
+                sel_start, n_sel, self.original_size, self.input_size,
+                pack_bits=True), True]
+            self._select_cache[key] = entry
 
         tgt = jnp.asarray(np.asarray(target_mask).squeeze().astype(bool))
-        inter, union, packed, low = fn(
-            self.params, self.features, jnp.asarray(coords),
-            jnp.asarray(labels), m.astype(self.sam.dtype),
-            jnp.asarray(has_mask), tgt)
+        args = (self.params, self.features, jnp.asarray(coords),
+                jnp.asarray(labels), m.astype(self.sam.dtype),
+                jnp.asarray(has_mask), tgt)
+        try:
+            inter, union, packed, low = entry[0](*args)
+        except Exception:
+            if not entry[1]:
+                raise
+            # packbits may not lower on every backend: fall back once to a
+            # uint8 mask transfer (8x the bytes, same semantics)
+            entry[0] = self._build_decode_select(
+                sel_start, n_sel, self.original_size, self.input_size,
+                pack_bits=False)
+            entry[1] = False
+            inter, union, packed, low = entry[0](*args)
 
         inter = np.asarray(inter, np.float64)
         union = np.asarray(union, np.float64)
@@ -249,8 +262,12 @@ class SamPredictor:
                 mask_idx, max_iou = ii, float(ious[ii])
         eff = mask_idx if mask_idx >= 0 else n_sel - 1
 
-        mask = np.unpackbits(np.asarray(packed[eff]), axis=-1,
-                             count=self.original_size[1]).astype(bool)
+        sel = np.asarray(packed[eff])
+        if entry[1]:  # bit-packed transfer
+            mask = np.unpackbits(sel, axis=-1,
+                                 count=self.original_size[1]).astype(bool)
+        else:
+            mask = sel.astype(bool)
         return mask, max_iou, mask_idx, low[eff]
 
     # ------------------------------------------------------------------
