@@ -476,8 +476,11 @@ def fit_fusion_briefly(images01, gt_masks, stcn_vars, steps: int = 300,
     t = len(sel)
     last = t - 1
 
+    # sv/frames/gt must be jit ARGUMENTS: closed-over device arrays become
+    # MLIR literal constants and the request body overflows the
+    # remote-compile tunnel (HTTP 413, r4_bench_full3 first attempt)
     @jax.jit
-    def gen_tuples():
+    def gen_tuples(sv, frames, gt):
         feats = jax.lax.map(
             lambda fr: stcn.apply(sv, fr, method="encode_key"), frames)
         h16, w16 = feats.k16.shape[1:3]
@@ -516,7 +519,7 @@ def fit_fusion_briefly(images01, gt_masks, stcn_vars, steps: int = 300,
         attn = jax.lax.map(attn_of, jnp.arange(t))     # [t, H, W, 2]
         return prev, curr, attn
 
-    prev, curr, attn = gen_tuples()
+    prev, curr, attn = gen_tuples(sv, frames, gt)
     # distance scalars per _fuse_frame: tc = last interaction, tr = 0
     tc, tr = float(sel[last]), float(sel[0])
     tis = jnp.asarray([float(sel[i]) for i in range(t)], jnp.float32)
@@ -532,13 +535,14 @@ def fit_fusion_briefly(images01, gt_masks, stcn_vars, steps: int = 300,
     opt = optax.adam(lr)
     opt_state = opt.init(pf)
 
-    def loss_fn(pf):
-        def fuse(i):
-            return fusion.apply({"params": pf}, frames[i], prev[i],
-                                curr[i], attn[i], dist[i])
+    def loss_fn(pf, batch):
+        b_im, b_prev, b_curr, b_attn, b_dist, tgt = batch
 
-        logits = jax.lax.map(fuse, mid)
-        tgt = gt[mid]
+        def fuse(i):
+            return fusion.apply({"params": pf}, b_im[i], b_prev[i],
+                                b_curr[i], b_attn[i], b_dist[i])
+
+        logits = jax.lax.map(fuse, jnp.arange(b_im.shape[0]))
         bce = -(pos_w * tgt * jax.nn.log_sigmoid(logits)
                 + (1 - tgt) * jax.nn.log_sigmoid(-logits))
         pred = logits > 0
@@ -549,14 +553,17 @@ def fit_fusion_briefly(images01, gt_masks, stcn_vars, steps: int = 300,
         return jnp.mean(bce), j
 
     @jax.jit
-    def step(pf, opt_state):
-        (loss, j), grads = jax.value_and_grad(loss_fn, has_aux=True)(pf)
+    def step(pf, opt_state, batch):
+        (loss, j), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(pf, batch)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(pf, updates), opt_state, loss, j
 
+    batch = (frames[mid], prev[mid], curr[mid], attn[mid], dist[mid],
+             gt[mid])
     loss = j = None
     for i in range(steps):
-        pf, opt_state, loss, j = step(pf, opt_state)
+        pf, opt_state, loss, j = step(pf, opt_state, batch)
         if i % 10 == 9 and float(j) >= j_target:
             break
     print(f"[bench] fusion brief fit: {i + 1} steps, final bce "
