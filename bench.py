@@ -332,7 +332,7 @@ def quality_delta(dtype_name: str = "bf16"):
 
 def fit_stcn_briefly(images01, gt_masks, steps: int = 300, lr: float = 1e-3,
                      pos_w: float = 4.0, n_frames: int = 8,
-                     j_target: float = 0.75):
+                     j_target: float = 0.65):
     """Briefly fit the flax PropagationNetwork ON THE BENCH VIDEO at
     production geometry (fp32) so the quality check runs at a mid-range J.
 
@@ -347,9 +347,12 @@ def fit_stcn_briefly(images01, gt_masks, steps: int = 300, lr: float = 1e-3,
     output of the loss, free) reaching ``j_target`` — the r4_bench_full1
     lesson: a bce threshold (0.02) can stop with positives sitting at
     p~=0.5, which thresholds to EMPTY masks (recorded J 0.0) even though
-    the loss looks converged.  Stopping at J>=0.75 lands the reference
-    episode mid-range, inside the [0.2, 0.98] degeneracy gate (full
-    convergence measures one-shot J 0.978, r4_fit_transfer3.json).
+    the loss looks converged.  Stopping at J>=0.65 lands the reference
+    episode mid-range, inside the [0.2, 0.98] degeneracy gate with margin
+    (the earlier 0.75 target stopped at one-shot J 0.879 and the fused
+    episode measured j_ref 0.976 — 0.004 under the gate ceiling,
+    r4_bench_full4; full convergence measures one-shot J 0.978,
+    r4_fit_transfer3.json).
     The weights are synthetic-video-specific by design: the deep-quality
     check measures ENGINE parity at a useful quality level, not model
     generality.  Returns fp32 PropagationNetwork variables.
@@ -575,10 +578,12 @@ def fit_fusion_briefly(images01, gt_masks, stcn_vars, steps: int = 300,
 def deep_quality(engine, feats, images, gt, pad, stcn_fp32_vars,
                  fusion_fp32_vars, interactions=(0, None, 10),
                  top_k: int = 50):
-    """Production-geometry quality parity: the SAME fitted weights through
-    the torch reference InferenceCore (CPU fp32) and this engine (bf16 +
-    production readout) on the SAME 480p episode; reports per-frame J and
-    J&F deltas (VERDICT r2 #2).  Reuses the engine's already-compiled
+    """Production-geometry quality parity: BIT-IDENTICAL fitted weights
+    (bf16-rounded once in run()) through the torch reference InferenceCore
+    (CPU, fp32 compute) and this engine (bf16 compute + production readout)
+    on the SAME 480p episode; reports per-frame J and J&F deltas
+    (VERDICT r2 #2).  The remaining delta is engine compute numerics +
+    semantics, not weight precision.  Reuses the engine's already-compiled
     interact — no extra 480p compiles.
 
     Reference protocol: ``eval_annotation_method.py:30,49-64`` (480p,
@@ -833,19 +838,124 @@ def eva_vos_round_rate(engine, images01, gt, controller, rounds: int = 6):
                                        jnp.zeros((t, 224, 224, 3))))
     jax.block_until_ready(rl_fwd(jnp.zeros(emb_shape),
                                  jnp.zeros((1, 224, 224, 3))))
+    # one untimed policy round: compiles the round's remaining graphs
+    # (non-donating interact, device-batched metric eval, mask->224 resize,
+    # farthest-point selection) that the headline/interactive sections do
+    # not exercise — r4_bench_full4's timed rounds 1-3 hid these compiles
+    t0 = time.perf_counter()
+    eva_vos(qnet_extract, rl_act, 1, engine, sample, annotator,
+            annotation_types=("3clicks", "mask"), eval_metric="j")
+    print(f"[bench] eva_vos warm-up round (compiles) "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # MARGINAL round rate: every eva_vos call pays a per-VIDEO setup inside
+    # the loop (initialize() re-uploads the video + recomputes features,
+    # frames_to_224) — ~80 s at 480p/T=60 through the tunnel
+    # (experiments/r4_evavos_profile.json: rounds 4-6 cost 1.2 s (mask) /
+    # 4.3 s (worst-case 3clicks chain) while r4_bench_full4 recorded
+    # 28.8 s/round).  Timing rounds=1 and rounds=1+N and dividing the
+    # difference isolates the N marginal policy rounds from the setup.
+    calls[0] = 0
+    t0 = time.perf_counter()
+    eva_vos(qnet_extract, rl_act, 1, engine, sample, annotator,
+            annotation_types=("3clicks", "mask"), eval_metric="j")
+    setup_s = time.perf_counter() - t0
+    calls[0] = 0
     t0 = time.perf_counter()
     mu, times, values, actions, metrics, frames = eva_vos(
-        qnet_extract, rl_act, rounds, engine, sample, annotator,
+        qnet_extract, rl_act, 1 + rounds, engine, sample, annotator,
         annotation_types=("3clicks", "mask"), eval_metric="j")
     elapsed = time.perf_counter() - t0
-    n_rounds = len(mu)
-    print(f"[bench] eva_vos {n_rounds} rounds in {elapsed:.1f}s "
-          f"(actions {actions})", file=sys.stderr)
+    n_rounds = len(mu) - 1
+    marginal_s = max(elapsed - setup_s, 1e-9)
+    print(f"[bench] eva_vos 1+{n_rounds} rounds in {elapsed:.1f}s "
+          f"(setup+round1 {setup_s:.1f}s, actions {actions})",
+          file=sys.stderr)
     return {
-        "eva_vos_rounds_per_sec": round(n_rounds / elapsed, 3),
+        "eva_vos_rounds_per_sec": round(n_rounds / marginal_s, 3),
         "eva_vos_rounds_timed": n_rounds,
+        "eva_vos_setup_plus_round1_s": round(setup_s, 2),
     }
+
+
+def _window_session(engine, feats, masks_dev, t, rounds, edges=None):
+    """Farthest-point interactive session with WINDOW-based timing.
+
+    Timing discipline: block_until_ready on DONATED outputs can return
+    before execution completes through the axon tunnel (r4_bench_full1
+    recorded 0.5 ms "rounds" for ~300 ms of device work;
+    experiments/r4_sync_probe.py).  Within a window the rounds chain
+    through the donated state — a real data dependency, so device
+    execution is serial — and ONE 4-byte certain_count fetch per window
+    edge amortizes the tunnel RTT instead of inflating every round.
+    Round 0 (compile of the donated variant) is excluded and retried on
+    transient tunnel failures.
+
+    Returns (windows, span): windows = [(start_round, end_round, frames,
+    seconds)], span(a, b) -> (frames, seconds) over rounds [a, b).
+    """
+    import jax
+    import time as _time
+
+    order = [0, t - 1]
+    while len(order) < rounds:
+        s = sorted(order)
+        gaps = [(s[i + 1] - s[i], s[i]) for i in range(len(s) - 1)]
+        g, lo = max(gaps)
+        if g <= 1:
+            break
+        order.append(lo + g // 2)
+
+    if edges is None:
+        edges = sorted({5, 10, max(11, rounds // 2), rounds})
+    edges = [e for e in edges if e <= rounds]
+
+    state = engine.init_state(feats, 1)
+    interacted = set()
+    windows = []  # (start_round, end_round, frames, seconds)
+    wstart, wframes = 1, 0
+    t0 = None
+    for r, idx in enumerate(order[:rounds]):
+        fwd = min((i for i in interacted if i > idx), default=t)
+        bwd = max((i for i in interacted if i < idx), default=-1)
+        n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
+        interacted.add(idx)
+        m = masks_dev[:, idx]
+        if r == 0:
+            for attempt in range(3):
+                try:
+                    state = engine.interact(state, feats, m, idx,
+                                            donate=True)
+                    jax.device_get(state.certain_count)
+                    break
+                except Exception as e:
+                    if attempt == 2 or not _is_transient(e):
+                        raise
+                    print(f"[bench] interactive compile attempt "
+                          f"{attempt + 1} failed (transient: "
+                          f"{e!r}); retrying", file=sys.stderr)
+                    # the failed call may have consumed the donated
+                    # buffers — rebuild the round-0 inputs so the
+                    # retry does not trip 'Array has been deleted'
+                    state = engine.init_state(feats, 1)
+                    interacted = {idx}
+                    time.sleep(20)
+            t0 = _time.perf_counter()
+            continue
+        state = engine.interact(state, feats, m, idx, donate=True)
+        wframes += n_frames
+        if (r + 1) in edges or r == rounds - 1:
+            jax.device_get(state.certain_count)  # true sync
+            now = _time.perf_counter()
+            windows.append((wstart, r + 1, wframes, now - t0))
+            wstart, wframes, t0 = r + 1, 0, now
+
+    def span(a, b):  # (frames, seconds) over rounds [a, b)
+        fr = sum(w[2] for w in windows if w[0] >= a and w[1] <= b)
+        sec = sum(w[3] for w in windows if w[0] >= a and w[1] <= b)
+        return fr, sec
+
+    return windows, span
 
 
 def run(quick: bool = False):
@@ -908,8 +1018,15 @@ def run(quick: bool = False):
         # mid-range J, not a degenerate ~0
         try:
             fp32_stcn = fit_stcn_briefly(images, masks)
-            # cast to the bench dtype (matching r2's converted-checkpoint
-            # treatment — the torch side keeps the fp32 originals)
+            # round the fitted weights to the bench dtype ONCE and hand the
+            # SAME (bit-identical, bf16-representable) values to both
+            # stacks: the torch reference upcasts them to fp32, this engine
+            # casts them to bf16 losslessly.  r4_bench_full4 ran the torch
+            # side on the unrounded fp32 originals, so its j_and_f_delta
+            # (+0.0155) conflated weight precision with engine numerics.
+            fp32_stcn = jax.tree.map(
+                lambda x: np.asarray(jnp.asarray(x, dtype), np.float32),
+                fp32_stcn)
             sp = jax.tree.map(lambda x: jnp.asarray(x, dtype), fp32_stcn)
         except Exception as e:
             print(f"[bench] brief fit failed ({e!r}); random init",
@@ -925,6 +1042,10 @@ def run(quick: bool = False):
         # the episode to empty masks in BOTH stacks (r4_bench_full2)
         try:
             fp32_fusion = fit_fusion_briefly(images, masks, fp32_stcn)
+            # same bit-identical-weights treatment as the STCN above
+            fp32_fusion = jax.tree.map(
+                lambda x: np.asarray(jnp.asarray(x, dtype), np.float32),
+                fp32_fusion)
         except Exception as e:
             print(f"[bench] fusion brief fit failed ({e!r}); random init",
                   file=sys.stderr)
@@ -1043,77 +1164,14 @@ def run(quick: bool = False):
         # the *_60round fields record the long-session steady state where
         # fixed per-round cost dominates (VERDICT r3 #5).
         rounds = min(60, t)
-        order = [0, t - 1]
-        while len(order) < rounds:
-            s = sorted(order)
-            gaps = [(s[i + 1] - s[i], s[i]) for i in range(len(s) - 1)]
-            g, lo = max(gaps)
-            if g <= 1:
-                break
-            order.append(lo + g // 2)
         try:
-            state = engine.init_state(feats, 1)
-            interacted = set()
             # device-resident masks: per-round host->device mask uploads
             # are not part of the propagation work being measured (real
             # sessions produce SAM masks on device)
             masks_dev = pad_mask(masks.astype(np.float32), pad)
             jax.block_until_ready(masks_dev)
-
-            # Timing is WINDOW-based with a forced scalar device_get at
-            # each window edge: block_until_ready on DONATED outputs can
-            # return before execution completes through the axon tunnel
-            # (r4_bench_full1 recorded 0.5 ms "rounds" for ~300 ms of
-            # device work; experiments/r4_sync_probe.py).  Within a window
-            # the rounds chain through the donated state — a real data
-            # dependency, so device execution is serial — and ONE 4-byte
-            # certain_count fetch per edge amortizes the tunnel RTT
-            # instead of inflating every round.
-            edges = sorted({5, 10, max(11, rounds // 2), rounds})
-            edges = [e for e in edges if e <= rounds]
-            windows = []  # (start_round, end_round, frames, seconds)
-            wstart, wframes = 1, 0
-            t0 = None
-            for r, idx in enumerate(order[:rounds]):
-                fwd = min((i for i in interacted if i > idx), default=t)
-                bwd = max((i for i in interacted if i < idx), default=-1)
-                n_frames = max(0, fwd - idx - 1) + max(0, idx - bwd - 1)
-                interacted.add(idx)
-                m = masks_dev[:, idx]
-                if r == 0:
-                    # round 0 compiles the donated variant — excluded
-                    for attempt in range(3):
-                        try:
-                            state = engine.interact(state, feats, m, idx,
-                                                    donate=True)
-                            jax.device_get(state.certain_count)
-                            break
-                        except Exception as e:
-                            if attempt == 2 or not _is_transient(e):
-                                raise
-                            print(f"[bench] interactive compile attempt "
-                                  f"{attempt + 1} failed (transient: "
-                                  f"{e!r}); retrying", file=sys.stderr)
-                            # the failed call may have consumed the donated
-                            # buffers — rebuild the round-0 inputs so the
-                            # retry does not trip 'Array has been deleted'
-                            state = engine.init_state(feats, 1)
-                            interacted = {idx}
-                            time.sleep(20)
-                    t0 = time.perf_counter()
-                    continue
-                state = engine.interact(state, feats, m, idx, donate=True)
-                wframes += n_frames
-                if (r + 1) in edges or r == rounds - 1:
-                    jax.device_get(state.certain_count)  # true sync
-                    now = time.perf_counter()
-                    windows.append((wstart, r + 1, wframes, now - t0))
-                    wstart, wframes, t0 = r + 1, 0, now
-
-            def span(a, b):  # (frames, seconds) over rounds [a, b)
-                fr = sum(w[2] for w in windows if w[0] >= a and w[1] <= b)
-                sec = sum(w[3] for w in windows if w[0] >= a and w[1] <= b)
-                return fr, sec
+            windows, span = _window_session(engine, feats, masks_dev, t,
+                                            rounds)
 
             fr10, sec10 = span(1, 10)
             if sec10:
@@ -1147,6 +1205,40 @@ def run(quick: bool = False):
             print(f"[bench] interactive session skipped: {e!r}",
                   file=sys.stderr)
             result["interactive_skipped"] = repr(e)
+
+        # 60-round session on a LONGER (T=120) video: at T == rounds the
+        # T=60 session's final half propagates ~0 frames (every gap is
+        # closed), so its tail fps measures available work, not speed.
+        # At T=120 the tail rounds still propagate 1-2 frames each — this
+        # is the non-degenerate long-session tail throughput (VERDICT r3
+        # #5).  Reuses the same engine: interact jit-specializes on the
+        # T=120 feature shapes (one extra compile, persistent-cached).
+        try:
+            t2 = 120
+            images2, masks2 = synthetic_video(t2, h, w, num_objects=1,
+                                              seed=1)
+            padded2, pad2 = prepare_video(images2, dtype=dtype)
+            feats2 = engine.precompute_features(padded2)
+            jax.block_until_ready(feats2.k16)
+            masks2_dev = pad_mask(masks2.astype(np.float32), pad2)
+            jax.block_until_ready(masks2_dev)
+            _, span2 = _window_session(engine, feats2, masks2_dev, t2, 60,
+                                       edges=[10, 30, 60])
+            fr_all, sec_all = span2(1, 60)
+            fr_tail, sec_tail = span2(30, 60)
+            if sec_all:
+                result["interactive_fps_60round_T120"] = round(
+                    fr_all / sec_all, 2)
+            if sec_tail:
+                result["interactive_tail_fps_60round_T120"] = round(
+                    fr_tail / sec_tail, 2)
+                result["interactive_tail_ms_per_round_T120"] = round(
+                    1e3 * sec_tail / 30, 1)
+            del feats2, masks2_dev, padded2
+        except Exception as e:
+            print(f"[bench] T120 interactive session skipped: {e!r}",
+                  file=sys.stderr)
+            result["interactive_t120_skipped"] = repr(e)
 
         # SAM-path benchmarks (VERDICT r3 #2): encode ms, warm-start decode
         # chain ms, and the full eva_vos policy round rate with the JAX SAM
