@@ -52,6 +52,9 @@ def record_history(result: dict):
             result.get("interactive_tail_fps_honest"),
         "interactive_tail_fps_60round":
             result.get("interactive_tail_fps_60round"),
+        "interactive_tail_fps_60round_T120":
+            result.get("interactive_tail_fps_60round_T120"),
+        "eva_vos_rounds_per_sec": result.get("eva_vos_rounds_per_sec"),
         "device": result.get("device"),
     }
     best = None
