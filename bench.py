@@ -785,6 +785,20 @@ def sam_bench(controller, h: int = 480, w: int = 854, iters: int = 5):
             print(f"[bench] sam decode chain first run (compile) "
                   f"{chain_s:.1f}s", file=sys.stderr)
     out["sam_decode_chain_ms"] = round(chain_s * 1e3, 2)
+
+    # (c) single fused decode+select call (the chain's unit step): the call
+    # returns host ious + one bit-packed mask, so it is synced by
+    # construction — per-call time = dispatch RTT + decode + upscale +
+    # select + packed-mask fetch
+    mid = np.argwhere(gt_mask > 0)
+    pt = mid.mean(axis=0)[::-1][None, :]            # [1, 2] (x, y)
+    lbl = np.ones((1,), np.int32)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        controller.predict_select(gt_mask, pt, lbl)
+        times.append(time.perf_counter() - t0)
+    out["sam_decode_ms"] = round(float(np.median(times)) * 1e3, 2)
     return out
 
 

@@ -647,16 +647,24 @@ class InferenceEngine:
 
 
 def prepare_video(images_01: np.ndarray, dtype=jnp.float32):
-    """Host helper: [T, H, W, 3] floats in [0,1] -> (padded normalized jnp, pad).
+    """Host helper: [T, H, W, 3] in [0,1] (float) or [0,255] (uint8)
+    -> (padded normalized jnp, pad).
 
     Normalization + pad-to-16, the device-side part of the reference's
-    dataloader transform.
+    dataloader transform.  uint8 input transfers 1 byte/px and is scaled
+    to [0,1] on device — prefer it for full videos (a 60-frame 480p video
+    is 59 MB as uint8 vs 236 MB as fp32; host->device bandwidth is the
+    per-video setup cost of an interactive session).
     """
     from ..ops.normalize import im_normalize
 
     t, h, w, _ = images_01.shape
     pad = compute_pad(h, w, 16)
-    x = im_normalize(jnp.asarray(images_01, dtype=dtype))
+    if np.asarray(images_01).dtype == np.uint8:
+        x = jnp.asarray(images_01).astype(dtype) / 255.0
+    else:
+        x = jnp.asarray(images_01, dtype=dtype)
+    x = im_normalize(x)
     x = pad_hw(x, pad, h_axis=1, w_axis=2)
     return x, pad
 

@@ -118,3 +118,16 @@ class TestResize:
         assert out.shape == (2, 2, 3)
         expected = np.asarray(x).reshape(2, 2, 16, 3, 16).mean(axis=(2, 4))
         np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+class TestPrepareVideo:
+    def test_uint8_matches_float(self, rng):
+        """uint8 videos upload 1 byte/px and are scaled on device; the
+        result must be bit-equal to the [0,1] float path."""
+        from eva_vos_tpu.engine.propagation import prepare_video
+
+        img = (rng.uniform(size=(3, 30, 44, 3)) * 255).astype(np.uint8)
+        a, pad_a = prepare_video(img.astype(np.float32) / 255.0)
+        b, pad_b = prepare_video(img)
+        assert pad_a == pad_b
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
