@@ -117,9 +117,16 @@ def initialize(engine: InferenceEngine, sample: VideoSample,
     Bookkeeping marks frame 0 as mask-annotated, but the actual frame-0
     interaction is performed by the policy loop's first round, exactly like
     the reference.
+
+    ``dtype`` defaults to the ENGINE's compute dtype: features in any
+    other dtype would jit-specialize a second full interact program (an
+    fp32 480p graph costs its own multi-minute tunnel compile and ~4x the
+    MXU FLOPs of the production bf16 one — r4_evavos_profile's 174 s
+    round-1 interact was exactly this).
     """
-    images, pad = prepare_video(sample.images01,
-                                dtype=dtype or np.float32)
+    images, pad = prepare_video(
+        sample.images01,
+        dtype=dtype or getattr(engine.stcn, "dtype", np.float32))
     feats = engine.precompute_features(images)
     state = engine.init_state(feats, sample.gt.shape[0])
 
