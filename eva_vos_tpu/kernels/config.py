@@ -44,6 +44,8 @@ class KernelConfig(NamedTuple):
     ro_win: Optional[int] = None          # readout sorted-slot window
     tour_group: Optional[int] = None      # tournament group width
     tour_rounds: Optional[int] = None     # tournament extraction rounds
+    tour_defer: Optional[int] = None      # deferred-merge window (blocks);
+                                          # 0 = per-block merges (r3 path)
     sel_notau: Optional[bool] = None      # ablation: no running-tau skip
     readout_noskip: Optional[bool] = None  # ablation: no block skip
 
@@ -59,6 +61,7 @@ class KernelConfig(NamedTuple):
             ro_win=_env_int("EVAVOS_RO_WIN"),
             tour_group=_env_int("EVAVOS_TOUR_GROUP"),
             tour_rounds=_env_int("EVAVOS_TOUR_ROUNDS"),
+            tour_defer=_env_int("EVAVOS_TOUR_DEFER"),
             sel_notau=bool(os.environ.get("EVAVOS_SEL_NOTAU")) or None,
             readout_noskip=(bool(os.environ.get("EVAVOS_READOUT_NOSKIP"))
                             or None),

@@ -369,11 +369,14 @@ def pallas_fused_readout(mk, qk, mv, top_k: int, valid_tokens=None,
     sel = resolve(kcfg.sel_method, "EVAVOS_SEL_METHOD", "tournament")
     select = {"resident": resident_topk_t, "tournament": tournament_topk_t,
               "chunked": chunked_topk_t}.get(sel, tournament_topk_t)
+    sel_kw = {}
+    if select is tournament_topk_t:
+        sel_kw["defer_s"] = kcfg.tour_defer
     vals_t, idx_t = select(
         qk_p, mk_p, msq, valid, top_k=top_k, block_q=sel_block_q,
         block_m=sel_block_m, scale=scale, interpret=interpret,
         group=kcfg.tour_group, rounds=kcfg.tour_rounds,
-        no_skip=kcfg.sel_notau)
+        no_skip=kcfg.sel_notau, **sel_kw)
 
     rb = readout_block_m
     n_blocks = mp_ // rb

@@ -373,9 +373,9 @@ def _extract_topk_rows(scores, ids, k):
 
 
 def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
-                       run_vals, run_idx, *, block_m: int, top_k: int,
-                       scale: float, rounds: int, group: int,
-                       no_skip: bool = False):
+                       run_vals, run_idx, cand_vals, cand_idx, *,
+                       block_m: int, top_k: int, scale: float, rounds: int,
+                       group: int, no_skip: bool = False, defer_s: int = 0):
     """Tournament variant: the per-block top-k extraction is the engine's
     VPU bottleneck (k sequential full-width max/argmax/mask passes — 85% of
     a blocked propagation step).  Everything runs TRANSPOSED — scores
@@ -398,15 +398,41 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
 
     ~6x fewer VPU ops than the grid kernel at production geometry, still
     bit-exact against the XLA oracle.
+
+    DEFERRED MERGES (``defer_s`` > 1, r4): the r4_sel_attrib breakdown
+    shows the per-block merge extraction (+9.0 ms) and the per-block
+    count-verify (+6.9 ms) together cost more than the tournament itself
+    (+8.5 ms) at fill-72.  v2 replaces both per-block steps on the common
+    path with one RESIDUAL-MAX safe check (a single [G, Qt] pass):
+
+      resid[g] = max of the group's UNextracted scores (free from the
+      tournament's masked residual); safe = all(resid < tau_run).
+
+    tau_run (the incumbent k-th value) only ever rises toward the final
+    tau, so ``resid < tau_run <= tau_fin`` proves every element of this
+    block worth >= tau_fin — even a tie at tau_fin, which the strict <
+    covers — is among its ``rounds``-per-group candidates.  Safe blocks
+    just append their candidates to a ``defer_s``-block buffer; ONE
+    extraction per window merges buffer + incumbents ((S*R*G + k) * k
+    rows per S blocks instead of (R*G + k) * k per block).  Unsafe blocks
+    (cold tau early on, or a dense group) take the original per-block
+    merge + count-verify + escalation chain, so exactness never rests on
+    the safe check being common — only the speed does.
     """
     j = pl.program_id(1)
     q = qk_ref[:]                                             # [Qt, CK]
     nq = q.shape[0]
+    g = block_m // group
+    n_cand = rounds * g
 
     @pl.when(j == 0)
     def _():
         run_vals[:] = jnp.full((top_k, nq), NEG_INF, jnp.float32)
         run_idx[:] = jnp.zeros((top_k, nq), jnp.int32)
+        if defer_s > 1:
+            cand_vals[:] = jnp.full((defer_s * n_cand, nq), NEG_INF,
+                                    jnp.float32)
+            cand_idx[:] = jnp.zeros((defer_s * n_cand, nq), jnp.int32)
 
     @pl.when(j * block_m < valid_ref[0])
     def _():
@@ -432,7 +458,6 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
 
         @pl.when(no_skip | jnp.any(scores > tau_run))
         def _():
-            g = block_m // group
             sub_ids = jax.lax.broadcasted_iota(jnp.int32, (1, group, 1), 1)
             base = j * block_m + group * jax.lax.broadcasted_iota(
                 jnp.int32, (g, nq), 0)
@@ -452,52 +477,96 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
 
             s3a, cv1, ci1 = tourney(scores.reshape(g, group, nq), rounds)
 
-            # ONE extraction over block candidates + incumbents yields the
-            # merged top-k directly (the old per-block extract-then-merge
-            # ran two k-pass extractions); the min-id tie rule makes the
-            # buffer order irrelevant.
-            cat_v = jnp.concatenate([cv1, run_vals[:]], axis=0)
-            cat_i = jnp.concatenate([ci1, run_idx[:]], axis=0)
-            mv1, mi1 = _extract_topk_rows(cat_v, cat_i, top_k)
+            # residual maxima: resid[g] = the best score the tournament did
+            # NOT extract from group g.  "resid < tau" is EQUIVALENT to the
+            # r3 count-verify (n_ge == c_ge over the full block): both say
+            # exactly "no unextracted element >= tau" — but the residual
+            # check is one [G, group, Qt] max over the already-masked
+            # scores instead of two full compare+sum passes (r4_sel_attrib:
+            # the per-block count-verify cost +6.9 ms at fill 72).
+            resid1 = jnp.max(s3a, axis=1)                      # [G, Qt]
 
-            def verified(mv, block_cv):
-                # if every block element >= the merged tau is among the
-                # block's candidates, the merged set provably contains
-                # every global winner from this block
-                tau_m = mv[top_k - 1:top_k, :]                 # [1, Qt]
-                n_ge = jnp.sum((scores >= tau_m).astype(jnp.float32),
-                               axis=0)
-                c_ge = jnp.sum((block_cv >= tau_m).astype(jnp.float32),
-                               axis=0)
-                return jnp.all(n_ge == c_ge)
+            def merge_now():
+                # per-block merge + residual-verify + escalation (with
+                # deferral this is only the UNSAFE-block fallback).
+                # ONE extraction over block candidates + incumbents yields
+                # the merged top-k directly; the min-id tie rule makes the
+                # buffer order irrelevant.
+                cat_v = jnp.concatenate([cv1, run_vals[:]], axis=0)
+                cat_i = jnp.concatenate([ci1, run_idx[:]], axis=0)
+                mv1, mi1 = _extract_topk_rows(cat_v, cat_i, top_k)
 
-            def level2(_):
-                # some group hid > ``rounds`` of this tile's winners:
-                # deepen the tournament by ``rounds`` more passes (top-2R
-                # per group) and re-verify — ~10x cheaper than the full
-                # [Bm + k, Qt] extraction the r2 kernel escalated straight
-                # to (r3_kernel_bench_v2: that extraction made clustered
-                # fills ~2x slower than random ones)
-                _, cv2, ci2 = tourney(s3a, rounds)
-                cat2_v = jnp.concatenate([cv1, cv2, run_vals[:]], axis=0)
-                cat2_i = jnp.concatenate([ci1, ci2, run_idx[:]], axis=0)
-                mv2, mi2 = _extract_topk_rows(cat2_v, cat2_i, top_k)
+                def verified(mv, resid):
+                    # every unextracted element is <= resid; resid < tau_m
+                    # proves every block element >= tau_m is a candidate,
+                    # so the merged set contains every global winner from
+                    # this block (ties AT tau_m escalate conservatively,
+                    # same as the count-verify they replace)
+                    tau_m = mv[top_k - 1:top_k, :]             # [1, Qt]
+                    return jnp.all(resid < tau_m)
 
-                def full(_):
-                    tok = j * block_m + jax.lax.broadcasted_iota(
-                        jnp.int32, (block_m, nq), 0)
-                    full_v = jnp.concatenate([scores, run_vals[:]], axis=0)
-                    full_i = jnp.concatenate([tok, run_idx[:]], axis=0)
-                    return _extract_topk_rows(full_v, full_i, top_k)
+                def level2(_):
+                    # some group hid > ``rounds`` of this tile's winners:
+                    # deepen the tournament by ``rounds`` more passes
+                    # (top-2R per group) and re-verify — ~10x cheaper than
+                    # the full [Bm + k, Qt] extraction the r2 kernel
+                    # escalated straight to
+                    s3b, cv2, ci2 = tourney(s3a, rounds)
+                    cat2_v = jnp.concatenate([cv1, cv2, run_vals[:]],
+                                             axis=0)
+                    cat2_i = jnp.concatenate([ci1, ci2, run_idx[:]],
+                                             axis=0)
+                    mv2, mi2 = _extract_topk_rows(cat2_v, cat2_i, top_k)
 
-                return jax.lax.cond(
-                    verified(mv2, jnp.concatenate([cv1, cv2], axis=0)),
-                    lambda _: (mv2, mi2), full, None)
+                    def full(_):
+                        tok = j * block_m + jax.lax.broadcasted_iota(
+                            jnp.int32, (block_m, nq), 0)
+                        full_v = jnp.concatenate([scores, run_vals[:]],
+                                                 axis=0)
+                        full_i = jnp.concatenate([tok, run_idx[:]], axis=0)
+                        return _extract_topk_rows(full_v, full_i, top_k)
 
-            mvals, midx = jax.lax.cond(
-                verified(mv1, cv1), lambda _: (mv1, mi1), level2, None)
+                    return jax.lax.cond(
+                        verified(mv2, jnp.max(s3b, axis=1)),
+                        lambda _: (mv2, mi2), full, None)
+
+                mvals, midx = jax.lax.cond(
+                    verified(mv1, resid1), lambda _: (mv1, mi1), level2,
+                    None)
+                run_vals[:] = mvals
+                run_idx[:] = midx
+
+            if defer_s > 1:
+                # deferred merge: resid < tau_run (strict; tau_run only
+                # rises toward the final tau) proves every potential winner
+                # of this block is among cv1 — buffer and defer the merge.
+                safe = jnp.all(resid1 < tau_run)
+
+                @pl.when(safe)
+                def _():
+                    slot = (j % defer_s) * n_cand
+                    cand_vals[pl.ds(slot, n_cand), :] = cv1
+                    cand_idx[pl.ds(slot, n_cand), :] = ci1
+
+                @pl.when(~safe)
+                def _():
+                    merge_now()
+            else:
+                merge_now()
+
+    if defer_s > 1:
+        window_end = ((j % defer_s) == defer_s - 1) | (
+            j == pl.num_programs(1) - 1)
+
+        @pl.when(window_end)
+        def _():
+            cat_v = jnp.concatenate([cand_vals[:], run_vals[:]], axis=0)
+            cat_i = jnp.concatenate([cand_idx[:], run_idx[:]], axis=0)
+            mvals, midx = _extract_topk_rows(cat_v, cat_i, top_k)
             run_vals[:] = mvals
             run_idx[:] = midx
+            cand_vals[:] = jnp.full((defer_s * n_cand, nq), NEG_INF,
+                                    jnp.float32)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -924,7 +993,8 @@ def live_blocks(valid, block_m: int, n_blocks: int, interpret: bool):
 def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
                       block_m: int, scale: float, interpret: bool = False,
                       group: int | None = None, rounds: int | None = None,
-                      no_skip: bool | None = None):
+                      no_skip: bool | None = None,
+                      defer_s: int | None = None):
     """Tournament selection on PRE-PADDED inputs; returns TRANSPOSED
     (vals [top_k, Np], idx [top_k, Np]).  Shared by ``pallas_memory_topk``
     (which transposes back) and the fused gated readout (which consumes the
@@ -952,10 +1022,18 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     # r4.  verify/escalate keeps exactness regardless.
     rounds = resolve(rounds, "EVAVOS_TOUR_ROUNDS", 0) or max(6, -(-top_k // g))
     no_skip = bool(resolve(no_skip, "EVAVOS_SEL_NOTAU", False))
+    # deferred merges (see _kernel_tournament docstring): the candidate
+    # buffer's dynamic sublane slices need 8-row alignment, so fall back to
+    # per-block merges for geometries whose per-block candidate count isn't
+    # a sublane multiple
+    defer_s = resolve(defer_s, "EVAVOS_TOUR_DEFER", 8)
+    if (rounds * g) % 8 != 0 or defer_s < 0:
+        defer_s = 0
     return pl.pallas_call(
         functools.partial(_kernel_tournament, block_m=block_m,
                           top_k=top_k, scale=scale,
-                          rounds=rounds, group=group, no_skip=no_skip),
+                          rounds=rounds, group=group, no_skip=no_skip,
+                          defer_s=defer_s),
         grid=(np_ // block_q,
               live_blocks(valid, block_m, n_blocks, interpret)),
         in_specs=[
@@ -980,6 +1058,12 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
         scratch_shapes=[
             pltpu.VMEM((top_k, block_q), jnp.float32),
             pltpu.VMEM((top_k, block_q), jnp.int32),
+            # deferred-merge candidate buffer (8 dummy rows when disabled —
+            # the kernel never touches it then, but the ref must exist)
+            pltpu.VMEM((max(defer_s, 1) * rounds * g, block_q),
+                       jnp.float32),
+            pltpu.VMEM((max(defer_s, 1) * rounds * g, block_q),
+                       jnp.int32),
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,

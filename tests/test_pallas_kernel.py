@@ -239,3 +239,36 @@ def test_block_geometry_validation():
                                     top_k=50)
     finally:
         del os.environ["EVAVOS_VMEM_LIMIT_MB"]
+
+
+@pytest.mark.parametrize("defer_s", [0, 2, 8])
+def test_tournament_deferred_merge_exact(rng, defer_s):
+    """Deferred-merge tournament (r4): candidates buffered across
+    ``defer_s`` blocks with one merge per window, residual-max safe check
+    routing dense blocks to the per-block verify/escalate path.  Mixed
+    bank: mostly uniform blocks (safe path) plus two dominant clusters in
+    different windows (unsafe path + escalation), a partial final window,
+    and a valid-prefix cutoff mid-window."""
+    from eva_vos_tpu.kernels.memory_topk import tournament_topk_t
+
+    m, n, ck, top_k = 4096, 64, 16, 16
+    block_q, block_m = 32, 256          # 16 blocks -> 2 full defer windows
+    mk = rng.standard_normal((m, ck)).astype(np.float32)
+    mk[800:820] *= 30.0                 # cluster in block 3 (window 0)
+    mk[3100:3120] *= 30.0               # cluster in block 12 (window 1)
+    mk = jnp.asarray(mk)
+    qk = jnp.asarray(rng.standard_normal((n, ck)).astype(np.float32))
+    valid = 3500                        # cuts block 13 mid-window
+
+    ref_w, ref_i = memory_affinity_topk(mk, qk, top_k, valid_tokens=valid)
+    import math
+    msq = jnp.sum(mk.astype(jnp.float32) ** 2, axis=-1)
+    vals_t, idx_t = tournament_topk_t(
+        qk, mk, msq, jnp.asarray([valid], jnp.int32), top_k=top_k,
+        block_q=block_q, block_m=block_m, scale=math.sqrt(ck),
+        interpret=True, defer_s=defer_s)
+    w = jnp.exp(vals_t.T - vals_t.T[:, :1])
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    np.testing.assert_array_equal(np.asarray(idx_t.T), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w),
+                               rtol=1e-4, atol=1e-6)
