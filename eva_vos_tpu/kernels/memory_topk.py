@@ -84,7 +84,8 @@ def _compiler_params():
 
 def validate_block_geometry(*, block_q: int, block_m: int, ck: int,
                             top_k: int, cv: int = 0, n_obj: int = 0,
-                            kernel: str = "selection") -> None:
+                            kernel: str = "selection",
+                            cand_rows: int = 0) -> None:
     """Cheap VMEM-footprint estimate; raises a descriptive ValueError for
     block geometries that cannot fit the scoped-VMEM budget (ADVICE r2:
     oversized blocks otherwise surface as opaque backend JaxRuntimeErrors
@@ -112,6 +113,10 @@ def validate_block_geometry(*, block_q: int, block_m: int, ck: int,
     # plus the kernel's statically-sized residents must leave room
     fixed = 2 * block_m * ck * f32 + block_m * f32 + block_q * ck * f32
     fixed += 4 * top_k * block_q * f32
+    # deferred-merge candidate scratch (vals + idx), ADVICE r4: at
+    # block_m=8192 / defer 8 / block_q=512 this is ~12.6 MB — geometries
+    # must not pass validation and then die in Mosaic
+    fixed += 2 * cand_rows * block_q * f32
     if kernel == "readout":
         fixed += 2 * n_obj * block_m * cv * f32     # mv double-buffered
         fixed += n_obj * block_q * cv * f32         # fp32 accumulator
@@ -373,7 +378,7 @@ def _extract_topk_rows(scores, ids, k):
 
 
 def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
-                       run_vals, run_idx, cand_vals, cand_idx, *,
+                       run_vals, run_idx, cand_vals, cand_idx, buffered, *,
                        block_m: int, top_k: int, scale: float, rounds: int,
                        group: int, no_skip: bool = False, defer_s: int = 0):
     """Tournament variant: the per-block top-k extraction is the engine's
@@ -433,6 +438,7 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
             cand_vals[:] = jnp.full((defer_s * n_cand, nq), NEG_INF,
                                     jnp.float32)
             cand_idx[:] = jnp.zeros((defer_s * n_cand, nq), jnp.int32)
+            buffered[0] = 0
 
     @pl.when(j * block_m < valid_ref[0])
     def _():
@@ -547,6 +553,7 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
                     slot = (j % defer_s) * n_cand
                     cand_vals[pl.ds(slot, n_cand), :] = cv1
                     cand_idx[pl.ds(slot, n_cand), :] = ci1
+                    buffered[0] = 1
 
                 @pl.when(~safe)
                 def _():
@@ -558,7 +565,12 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
         window_end = ((j % defer_s) == defer_s - 1) | (
             j == pl.num_programs(1) - 1)
 
-        @pl.when(window_end)
+        # ADVICE r4: the window-end extraction is a full
+        # (defer_s*rounds*g + k)-row, k-pass merge — running it even for
+        # windows where every block tau-skipped (the common case on warm
+        # banks) cost ~2x at fill 72 (r4_defer_timing.json).  The SMEM
+        # ``buffered`` flag gates it to windows that actually buffered.
+        @pl.when(window_end & (buffered[0] > 0))
         def _():
             cat_v = jnp.concatenate([cand_vals[:], run_vals[:]], axis=0)
             cat_i = jnp.concatenate([cand_idx[:], run_idx[:]], axis=0)
@@ -567,6 +579,7 @@ def _kernel_tournament(qk_ref, mk_ref, msq_ref, valid_ref, vals_ref, idx_ref,
             run_idx[:] = midx
             cand_vals[:] = jnp.full((defer_s * n_cand, nq), NEG_INF,
                                     jnp.float32)
+            buffered[0] = 0
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -1004,9 +1017,6 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     np_, ck = qk_p.shape
     mp_ = mk_p.shape[0]
     n_blocks = mp_ // block_m
-    if not interpret:
-        validate_block_geometry(block_q=block_q, block_m=block_m, ck=ck,
-                                top_k=top_k, kernel="selection")
     from .config import resolve
 
     genv = resolve(group, "EVAVOS_TOUR_GROUP", 0)
@@ -1025,10 +1035,19 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
     # deferred merges (see _kernel_tournament docstring): the candidate
     # buffer's dynamic sublane slices need 8-row alignment, so fall back to
     # per-block merges for geometries whose per-block candidate count isn't
-    # a sublane multiple
-    defer_s = resolve(defer_s, "EVAVOS_TOUR_DEFER", 8)
+    # a sublane multiple.  DEFAULT 0 (ADVICE r4): r4_defer_timing.json
+    # measured defer8 ~2x SLOWER than defer0 at production geometry
+    # (fill72 54.7 ms vs 27.2 ms) because the window-end merge ran
+    # unconditionally; deferral stays opt-in until re-measured with the
+    # buffered-flag gate above.
+    defer_s = resolve(defer_s, "EVAVOS_TOUR_DEFER", 0)
     if (rounds * g) % 8 != 0 or defer_s < 0:
         defer_s = 0
+    defer_s = min(defer_s, 64)  # unbounded env values -> opaque VMEM OOMs
+    if not interpret:
+        validate_block_geometry(block_q=block_q, block_m=block_m, ck=ck,
+                                top_k=top_k, kernel="selection",
+                                cand_rows=max(defer_s, 1) * rounds * g)
     return pl.pallas_call(
         functools.partial(_kernel_tournament, block_m=block_m,
                           top_k=top_k, scale=scale,
@@ -1064,6 +1083,7 @@ def tournament_topk_t(qk_p, mk_p, msq, valid, *, top_k: int, block_q: int,
                        jnp.float32),
             pltpu.VMEM((max(defer_s, 1) * rounds * g, block_q),
                        jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),  # window 'buffered' flag
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,

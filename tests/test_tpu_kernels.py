@@ -68,6 +68,29 @@ def test_resident_selection_exact(data, slots):
 
 
 @pytest.mark.parametrize("slots", [2, 7, 24])
+@pytest.mark.parametrize("defer_s", [4, 8])
+def test_tournament_deferred_dynamic_grid(data, slots, defer_s):
+    """Deferred merges under the COMPILED dynamic grid (ADVICE r4): the
+    interpret suite always sees the static full grid, so window_end firing
+    at j == num_programs-1 MID-window (valid cuts the last defer window
+    short) is exercised only here.  slots=7 at block_m=1024 ends on block
+    1 (mid-window for both defer sizes); slots=24 ends on block 5."""
+    from eva_vos_tpu.kernels.memory_topk import tournament_topk_t
+    from eva_vos_tpu.ops.memory_attention import memory_affinity_topk
+
+    mk, qk, _ = data
+    valid = slots * HW
+    n, ck = qk.shape
+    msq = jnp.sum(mk.astype(jnp.float32) ** 2, axis=-1)
+    vals_t, idx_t = tournament_topk_t(
+        qk, mk, msq, jnp.asarray([valid], jnp.int32), top_k=TOP_K,
+        block_q=128, block_m=1024, scale=float(np.sqrt(ck)),
+        defer_s=defer_s)
+    _, ri = memory_affinity_topk(mk, qk, TOP_K, valid)
+    np.testing.assert_array_equal(np.asarray(idx_t.T[:n]), np.asarray(ri))
+
+
+@pytest.mark.parametrize("slots", [2, 7, 24])
 def test_chunked_selection_exact(data, slots):
     """Chunked newest-first tournament (production default): compiled
     scalar-prefetch reversed order + in-kernel sub-block loop + >= tau
