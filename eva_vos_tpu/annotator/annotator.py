@@ -19,6 +19,8 @@ and production uses the JAX SAM predictor.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .robots import ClickRobot, BboxRobot
@@ -113,6 +115,21 @@ class Annotator:
         pred = np.asarray(pred_mask).squeeze().astype(bool)
         if pred.sum() == 0:
             return None, None, None, None
+
+        # fused single-dispatch chain (JAX SAM): the whole middle-click +
+        # <=20-refinement loop runs on device, incl. the connected-
+        # component click robot — 1 host round-trip instead of ~21 at
+        # ~31 ms RTT each (experiments/r5_sam_profile.json).  Identical
+        # episodes to the host loop below
+        # (tests/test_sam.py::TestWarmstartChainParity).
+        ws = getattr(self.sam, "warmstart_select", None)
+        if ws is not None and os.environ.get("EVAVOS_HOST_WARMSTART") != "1":
+            ok, logits, mask, clicks, labels = ws(
+                pred, threshold=SIMILAR_IOU_THRESHOLD,
+                max_tries=MAX_WARMSTART_TRIES)
+            if not ok:
+                return None, None, None, None
+            return logits[None], mask[None], clicks, labels
 
         clicks, labels = self.click_robot.middle_click(pred)
         best_mask, max_iou, best_logits = self._predict_best(

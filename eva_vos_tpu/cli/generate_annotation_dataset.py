@@ -97,7 +97,7 @@ def main(argv=None):
                 im = _frame_image(session, frame)
                 # persist the pre-annotation state
                 state_id = f"{sample.name}_f{frame}_r{r}"
-                img_u8 = (np.clip(sample.images01[frame], 0, 1) * 255
+                img_u8 = (np.clip(sample.frame_float(frame), 0, 1) * 255
                           ).astype(np.uint8)
                 save_png(out_root / "Images" / f"{state_id}.png", img_u8)
                 save_png(out_root / "Masks" / f"{state_id}.png",

@@ -64,8 +64,10 @@ def save_frames(out_root: Path, video_name: str, images01: np.ndarray):
     if d.exists():
         return
     os.makedirs(d, exist_ok=True)
-    im224 = np.asarray(resize_bicubic(jnp.asarray(images01), (224, 224),
-                                      h_axis=1, w_axis=2))
+    x = jnp.asarray(images01)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    im224 = np.asarray(resize_bicubic(x, (224, 224), h_axis=1, w_axis=2))
     im224 = (np.clip(im224, 0, 1) * 255).astype(np.uint8)
     for f in range(im224.shape[0]):
         Image.fromarray(im224[f]).save(d / f"{f:05d}.png")

@@ -30,16 +30,29 @@ EMPTY_GT_TOKEN = 20
 @dataclass
 class VideoSample:
     """One (video, object) evaluation sample — reference ``AnnotationDataset``
-    emits exactly one object per sample, so K == 1 on the eval paths."""
+    emits exactly one object per sample, so K == 1 on the eval paths.
+
+    ``images01`` may be float in [0, 1] (the reference's ToTensor output)
+    or uint8 in [0, 255]: uint8 uploads 1 byte/px (4x less than fp32
+    through the device tunnel — the dominant per-video setup cost) and is
+    scaled to [0, 1] on device; the reference's own pipeline loads uint8
+    PNGs, so the float values are identical."""
 
     name: str
-    images01: np.ndarray          # [T, H, W, 3] float in [0, 1]
+    images01: np.ndarray          # [T, H, W, 3] float in [0,1] or uint8
     gt: np.ndarray                # [K, T, H, W] uint8 one-hot
     encoder_images: Optional[np.ndarray] = None  # for l2_mask baselines
 
     @property
     def num_frames(self) -> int:
         return self.images01.shape[0]
+
+    def frame_float(self, idx: int) -> np.ndarray:
+        """[H, W, 3] float32 in [0, 1] regardless of storage dtype."""
+        f = self.images01[idx]
+        if f.dtype == np.uint8:
+            return f.astype(np.float32) / 255.0
+        return f.astype(np.float32)
 
 
 def _fresh_frame_record():
@@ -70,6 +83,12 @@ class Session:
     gt_dev: Optional[object] = None   # device-cached [T, H, W] bool gt
     sam_dev: Optional[object] = None  # device mirror of masks_from_sam
     sam_dirty: set = field(default_factory=set)  # frames to mirror
+    # buffer donation on the linear interactive path (VERDICT r4 #5): the
+    # round loop replaces ``state`` every interact, so donating its
+    # buffers saves the prob-volume + bank allocations per round.  Cloned
+    # (lookahead) sessions share the parent's state arrays and MUST NOT
+    # donate them — clone() forces False.
+    donate: bool = True
 
     @property
     def num_frames(self) -> int:
@@ -83,14 +102,16 @@ class Session:
         """mask [K, H, W] (unpadded) -> propagate; updates state in place."""
         with self.timers.span("propagate"):
             self.state = self.engine.interact(
-                self.state, self.feats, pad_mask(mask, self.pad), idx)
+                self.state, self.feats, pad_mask(mask, self.pad), idx,
+                donate=self.donate)
             import jax
 
             jax.block_until_ready(self.state.prob)
 
     def clone(self) -> "Session":
         """Cheap lookahead copy: shares features, copies bookkeeping; the
-        propagation state pytree is immutable so sharing it is safe."""
+        propagation state pytree is immutable so sharing it is safe (the
+        clone never donates — the parent still owns the buffers)."""
         return Session(
             engine=self.engine, feats=self.feats, state=self.state,
             pad=self.pad, sample=self.sample,
@@ -102,12 +123,25 @@ class Session:
             pf_annots=copy.deepcopy(self.pf_annots),
             gt_dev=self.gt_dev, sam_dev=self.sam_dev,
             sam_dirty=set(self.sam_dirty),
+            donate=False,
         )
 
 
 # Most recent session, for observability hooks (the policy functions return
 # the reference's result tuples, not the session).
 LAST_SESSION: Optional[Session] = None
+
+
+# Per-video feature cache (VERDICT r4 #6): the reference recomputes
+# features inside every policy call (``eval.py:92-118`` re-builds the
+# InferenceCore per call), so an eva_vos run pays video upload + encode
+# once per POLICY invocation — ~27 s at 480p/T=60 through the device
+# tunnel.  Features are deterministic per (engine, video), so repeated
+# policy calls on the same sample object reuse them.  Keyed by object
+# identity with the array held strongly (no id reuse); 2 entries cover
+# the current + previous video of a sequential eval run.
+_FEATURE_CACHE: dict = {}
+_FEATURE_CACHE_MAX = 2
 
 
 def initialize(engine: InferenceEngine, sample: VideoSample,
@@ -124,10 +158,17 @@ def initialize(engine: InferenceEngine, sample: VideoSample,
     MXU FLOPs of the production bf16 one — r4_evavos_profile's 174 s
     round-1 interact was exactly this).
     """
-    images, pad = prepare_video(
-        sample.images01,
-        dtype=dtype or getattr(engine.stcn, "dtype", np.float32))
-    feats = engine.precompute_features(images)
+    dtype = dtype or getattr(engine.stcn, "dtype", np.float32)
+    key = (id(engine), id(sample.images01), np.dtype(dtype).name)
+    hit = _FEATURE_CACHE.get(key)
+    if hit is not None and hit[0] is sample.images01:
+        feats, pad = hit[1], hit[2]
+    else:
+        images, pad = prepare_video(sample.images01, dtype=dtype)
+        feats = engine.precompute_features(images)
+        while len(_FEATURE_CACHE) >= _FEATURE_CACHE_MAX:
+            _FEATURE_CACHE.pop(next(iter(_FEATURE_CACHE)))
+        _FEATURE_CACHE[key] = (sample.images01, feats, pad)
     state = engine.init_state(feats, sample.gt.shape[0])
 
     t = sample.num_frames

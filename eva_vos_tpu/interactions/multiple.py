@@ -104,7 +104,7 @@ def _frame_image(session: Session, frame: int) -> np.ndarray:
     (``initialize`` hands the loops ``data['rgb']``, never the padded copy)."""
     from ..ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 
-    img = session.sample.images01[frame].astype(np.float32)
+    img = session.sample.frame_float(frame)
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 

@@ -45,10 +45,15 @@ def farthest_point_selection(features: np.ndarray, interacted_frames) -> int:
 
 
 def frames_to_224(images01: np.ndarray) -> jnp.ndarray:
-    """[T, H, W, 3] in [0,1] -> normalized bicubic 224x224 (QNet input)."""
+    """[T, H, W, 3] in [0,1] (float) or [0,255] (uint8) -> normalized
+    bicubic 224x224 (QNet input).  uint8 uploads 1 byte/px and scales on
+    device."""
     from ..ops.normalize import im_normalize
 
-    x = im_normalize(jnp.asarray(images01, jnp.float32))
+    x = jnp.asarray(images01)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    x = im_normalize(x.astype(jnp.float32))
     return resize_bicubic(x, (224, 224), h_axis=1, w_axis=2)
 
 

@@ -44,8 +44,10 @@ def eval_transform(images01: np.ndarray, out: int = 224,
     scale = 256.0 / min(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     resize = resize_bicubic if method == "bicubic" else resize_bilinear
-    x = resize(jnp.asarray(images01, jnp.float32), (nh, nw),
-               h_axis=1, w_axis=2)
+    x = jnp.asarray(images01)
+    if x.dtype == jnp.uint8:  # 1 byte/px upload, scale on device
+        x = x.astype(jnp.float32) / 255.0
+    x = resize(x.astype(jnp.float32), (nh, nw), h_axis=1, w_axis=2)
     top = (nh - out) // 2
     left = (nw - out) // 2
     x = x[:, top:top + out, left:left + out]

@@ -247,6 +247,7 @@ def assert_rounds_equal(got, ref, what, atol=2e-4):
 
 
 class TestMaskPolicyParity:
+    @pytest.mark.parity_ci
     def test_oracle_mask(self, ref_interactions, nets, ref_data, sample):
         _, ref_mask, _, _, _ = ref_interactions
         tnet, t_fuse, _, _ = nets["torch"]
@@ -368,6 +369,7 @@ class TestMultiPolicyParity:
         assert [int(f) for f in got_frames] == \
             [int(f) for f in ref_frames], "oracle_oracle frames"
 
+    @pytest.mark.parity_ci
     def test_eva_vos(self, ref_interactions, nets, ref_data, sample):
         _, _, _, ref_multi, ref_annot = ref_interactions
         tnet, t_fuse, t_qnet, t_rl = nets["torch"]

@@ -188,6 +188,7 @@ class TestFusionNetParity:
 
 
 @pytest.mark.slow
+@pytest.mark.parity_ci
 class TestEpisodeParity:
     """8-frame InferenceCore episode vs InferenceEngine — the 'matched
     quality' proof: identical weights, three interactions (forward-only,
