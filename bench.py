@@ -395,6 +395,23 @@ def _fit_cached(tag: str, key_parts, fit_fn):
     return out
 
 
+def _round_to_dtype_host(x, dtype):
+    """Round an fp32 host array through ``dtype`` and back, on host.
+
+    Bit-identical to ``np.asarray(jnp.asarray(x, dtype), np.float32)``
+    (both are round-to-nearest-even) but never touches the device — the
+    device round-trip cost ~800 s over the axon tunnel for the full STCN
+    weight tree (r5 bench run3 "fit" section).
+    """
+    import ml_dtypes
+
+    np_dtype = {"bfloat16": ml_dtypes.bfloat16,
+                "float16": np.float16,
+                "float32": np.float32}[np.dtype(dtype).name]
+    return np.asarray(np.asarray(x, np.float32).astype(np_dtype),
+                      np.float32)
+
+
 def fit_stcn_briefly(images01, gt_masks, steps: int = 300, lr: float = 1e-3,
                      pos_w: float = 4.0, n_frames: int = 8,
                      j_target: float = 0.5):
@@ -1253,6 +1270,9 @@ def run(quick: bool = False):
     # (VERDICT r4 #4 — fusion/aggregate exercised beyond the 48x64 test)
     images, masks = synthetic_video(t, h, w,
                                     num_objects=1 if quick else 2, seed=0)
+    if not quick:
+        print(f"[bench] setup to synthetic_video: "
+              f"{time.perf_counter() - t_run0:.1f}s", file=sys.stderr)
     fp32_stcn = None
     fp32_fusion = None
     if not quick:
@@ -1273,9 +1293,12 @@ def run(quick: bool = False):
             # casts them to bf16 losslessly.  r4_bench_full4 ran the torch
             # side on the unrounded fp32 originals, so its j_and_f_delta
             # (+0.0155) conflated weight precision with engine numerics.
+            # Rounding happens ON HOST (ml_dtypes bf16 == XLA's RN-even
+            # cast, asserted in tests/test_bench_helpers.py): the old
+            # jnp round-trip moved every weight tensor up AND down the
+            # ~13 MB/s tunnel — ~800 s of the r5 run3 "fit" span.
             fp32_stcn = jax.tree.map(
-                lambda x: np.asarray(jnp.asarray(x, dtype), np.float32),
-                fp32_stcn)
+                lambda x: _round_to_dtype_host(x, dtype), fp32_stcn)
             sp = jax.tree.map(lambda x: jnp.asarray(x, dtype), fp32_stcn)
         except Exception as e:
             print(f"[bench] brief fit failed ({e!r}); random init",
@@ -1295,8 +1318,7 @@ def run(quick: bool = False):
                 lambda: fit_fusion_briefly(images, masks, fp32_stcn))
             # same bit-identical-weights treatment as the STCN above
             fp32_fusion = jax.tree.map(
-                lambda x: np.asarray(jnp.asarray(x, dtype), np.float32),
-                fp32_fusion)
+                lambda x: _round_to_dtype_host(x, dtype), fp32_fusion)
         except Exception as e:
             print(f"[bench] fusion brief fit failed ({e!r}); random init",
                   file=sys.stderr)
@@ -1313,6 +1335,9 @@ def run(quick: bool = False):
     fp = jax.tree.map(lambda x: jnp.asarray(x, dtype), fp32_fusion)
 
     mark("fit")
+    if not quick:
+        print(f"[bench] fit section: {section_s['fit']:.1f}s",
+              file=sys.stderr)
 
     cfg = EngineConfig(mem_freq=5, top_k=top_k,
                        max_interactions=4 if quick else 60,
