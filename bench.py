@@ -1264,12 +1264,14 @@ def run(quick: bool = False):
     pw = w + (-w) % 16
     frame0 = jnp.zeros((ph, pw, 3), dtype)
     mask0 = jnp.zeros((1, ph, pw), dtype)
-    # K=2 gt: the headline/interactive sections propagate object 1 only
-    # (K=1, r1-r4-comparable, with object 2 as a scene distractor); the
-    # deep-quality episode runs BOTH objects at production geometry
-    # (VERDICT r4 #4 — fusion/aggregate exercised beyond the 48x64 test)
-    images, masks = synthetic_video(t, h, w,
-                                    num_objects=1 if quick else 2, seed=0)
+    # K=1 video for the headline/interactive/T120/SAM/eva_vos sections —
+    # the SAME protocol r1-r4 measured (the r5 run1-4 captures ran these
+    # sections on a K=2-distractor video, which alone moved the headline
+    # 186 -> 172-176: selection-kernel work is data-dependent, so the
+    # scene change conflated protocol with regression).  The deep-quality
+    # episode (VERDICT r4 #4) builds its OWN K=2 video + fitted weights
+    # in its section below.
+    images, masks = synthetic_video(t, h, w, num_objects=1, seed=0)
     if not quick:
         print(f"[bench] setup to synthetic_video: "
               f"{time.perf_counter() - t_run0:.1f}s", file=sys.stderr)
@@ -1283,7 +1285,7 @@ def run(quick: bool = False):
         # reference episode — so the quality tie-in is measured at a
         # mid-range J, not a degenerate ~0
         try:
-            fit_key = (t, h, w, np.dtype(dtype).name, 2, 0)  # geom, K, seed
+            fit_key = (t, h, w, np.dtype(dtype).name, 1, 0)  # geom, K, seed
             fp32_stcn = _fit_cached(
                 "stcn", (*fit_key, fit_stcn_briefly),
                 lambda: fit_stcn_briefly(images, masks))
@@ -1578,9 +1580,32 @@ def run(quick: bool = False):
         result["deep_quality_skipped"] = "budget"
     elif not quick:
         try:
+            # the episode's own K=2 video + weights briefly fitted ON it
+            # (disk-cached like the headline fit); an engine built around
+            # those weights costs no extra compile beyond what this
+            # section already pays — the T=30 feature shapes force a
+            # fresh interact specialization either way
+            images_q, masks_q = synthetic_video(t, h, w, num_objects=2,
+                                                seed=0)
+            fit_key_q = (t, h, w, np.dtype(dtype).name, 2, 0)
+            stcn_q = jax.tree.map(
+                lambda x: _round_to_dtype_host(x, dtype),
+                _fit_cached("stcn", (*fit_key_q, fit_stcn_briefly),
+                            lambda: fit_stcn_briefly(images_q, masks_q)))
+            fusion_q = jax.tree.map(
+                lambda x: _round_to_dtype_host(x, dtype),
+                _fit_cached(
+                    "fusion",
+                    (*fit_key_q, fit_fusion_briefly, fit_stcn_briefly),
+                    lambda: fit_fusion_briefly(images_q, masks_q, stcn_q)))
+            engine_q = InferenceEngine(
+                stcn, fusion,
+                jax.tree.map(lambda x: jnp.asarray(x, dtype), stcn_q),
+                jax.tree.map(lambda x: jnp.asarray(x, dtype), fusion_q),
+                engine.config)
             result.update(deep_quality(
-                engine, images[:30], masks[:, :30], fp32_stcn,
-                fp32_fusion, interactions=(0, None, 10),
+                engine_q, images_q[:30], masks_q[:, :30], stcn_q,
+                fusion_q, interactions=(0, None, 10),
                 budget_s=max(120.0, remaining() - 120.0),
                 fp32_xcheck=remaining() > 300))
         except Exception as e:
