@@ -999,6 +999,23 @@ def sam_bench(controller, h: int = 480, w: int = 854, iters: int = 5):
         controller.predict_select(gt_mask, pt, lbl)
         times.append(time.perf_counter() - t0)
     out["sam_decode_ms"] = round(float(np.median(times)) * 1e3, 2)
+
+    # (c2) the environment's host-sync floor: ONE trivial dispatch + 4-byte
+    # fetch through the axon tunnel.  Any host-synced call — including (c)
+    # — pays at least this; the production loops avoid it by chaining
+    # decodes device-side (warmstart_select, single dispatch), which is
+    # what (b2) measures.  Recorded so sam_decode_ms is read as
+    # "RTT floor + decode", not as decode compute.
+    import jax.numpy as jnp
+    one = jnp.zeros((), jnp.int32)
+    add = jax.jit(lambda x: x + 1)
+    jax.block_until_ready(add(one))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.device_get(add(one))
+        times.append(time.perf_counter() - t0)
+    out["sam_host_rtt_floor_ms"] = round(float(np.median(times)) * 1e3, 2)
     return out
 
 
@@ -1228,8 +1245,12 @@ def run(quick: bool = False):
         # persistent compile cache: the 480p interact graph takes tens of
         # minutes to compile through the axon tunnel; repeat bench runs on
         # the same box (including the driver's end-of-round run) reuse it
-        cache_dir = os.environ.get("EVAVOS_JAX_CACHE",
-                                   "/tmp/evavos_xla_cache")
+        # repo-local by default: /tmp is wiped on reboot, and the driver's
+        # end-of-round capture must hit the cache this session warmed even
+        # if the box bounced in between (r4/r5 cold-capture lesson)
+        cache_dir = os.environ.get(
+            "EVAVOS_JAX_CACHE",
+            str(Path(__file__).resolve().parent / ".jax_compile_cache"))
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(

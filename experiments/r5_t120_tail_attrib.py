@@ -22,13 +22,13 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 import os
 
-os.environ.setdefault("EVAVOS_JAX_CACHE", "/tmp/evavos_xla_cache")
+os.environ.setdefault("EVAVOS_JAX_CACHE", "/root/repo/.jax_compile_cache")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/evavos_xla_cache")
+jax.config.update("jax_compilation_cache_dir", os.environ["EVAVOS_JAX_CACHE"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import bench as bench_mod
