@@ -124,10 +124,11 @@ def main():
     masks_dev = pad_mask(masks.astype(np.float32), pad)
     jax.block_until_ready(masks_dev)
 
-    order = farthest_point_order(t, 60)
+    order = farthest_point_order(t, 40)
     t0 = time.perf_counter()
     state, sess_s = run_session(engine, feats, masks_dev, order)
-    res["session59_s"] = round(sess_s, 2)
+    res["session_rounds"] = len(order) - 1
+    res["session_s"] = round(sess_s, 2)
     cc = int(jax.device_get(state.certain_count))
     res["tail_bank_fill"] = cc
     print(f"session done {sess_s:.1f}s fill={cc}", flush=True)
@@ -139,12 +140,12 @@ def main():
               if (i - 1 in interacted or i - 1 < 0)
               and (i + 1 in interacted or i + 1 >= t)]
     if len(closed) >= 4:
-        state = timed_rounds(engine, feats, masks_dev, state, closed[:8],
+        state = timed_rounds(engine, feats, masks_dev, state, closed[:4],
                              "zero_prop_ms_per_round")
 
     # b. tail rounds: continue the farthest-point order past 60
-    order_ext = farthest_point_order(t, 90)[60:]
-    tail_idxs = order_ext[:16]
+    order_ext = farthest_point_order(t, 90)[40:]
+    tail_idxs = order_ext[:12]
     if tail_idxs:
         state = timed_rounds(engine, feats, masks_dev, state, tail_idxs,
                              "tail_ms_per_round_fused")
@@ -158,20 +159,14 @@ def main():
             s.add(idx)
         res["tail_frames_per_round"] = round(fr / len(tail_idxs), 2)
 
-    # c. fusion=None engine: same tail rounds without fusion/attention
-    eng_nf = InferenceEngine(stcn, None, sp, fp, cfg)
-    state2, sess2 = run_session(eng_nf, feats, masks_dev, order)
-    res["session59_nofusion_s"] = round(sess2, 2)
-    tail2 = order_ext[:16]
-    if tail2:
-        state2 = timed_rounds(eng_nf, feats, masks_dev, state2, tail2,
-                              "tail_ms_per_round_nofusion")
+    # c. (dropped: a fusion=None engine would recompile the full interact
+    #    graph ~20 min through the tunnel; fusion share bounded analytically)
 
     # d. isolated phases at tail fill
     bank_k, bank_v, front = state.bank_k, state.bank_v, state.certain_count
     seg = jax.jit(lambda ti: engine._segment_frame(
         feats, bank_k, bank_v, front, ti))
-    ti = jnp.asarray(order_ext[16] if len(order_ext) > 16 else 60, jnp.int32)
+    ti = jnp.asarray(order_ext[12] if len(order_ext) > 12 else 60, jnp.int32)
     out = seg(ti)
     jax.block_until_ready(out)
     jax.device_get(jnp.ravel(out)[0])
@@ -195,6 +190,23 @@ def main():
     jax.device_get(jnp.ravel(out)[0])
     res["encode_value_ms"] = round((time.perf_counter() - t0) / 10 * 1e3, 2)
     print("encode_value_ms", res["encode_value_ms"], flush=True)
+
+
+    # e. tunnel dispatch overhead: N chained trivial dispatches + 1 fetch.
+    #    Bounds the per-interact host->terminal cost that no device-side
+    #    optimization can remove.
+    tiny = jnp.zeros((8,), jnp.float32)
+    triv = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(triv(tiny))
+    x = tiny
+    t0 = time.perf_counter()
+    for _ in range(32):
+        x = triv(x)
+    jax.device_get(x[0])
+    res["dispatch_overhead_ms_per_call"] = round(
+        (time.perf_counter() - t0) / 32 * 1e3, 2)
+    print("dispatch_overhead_ms_per_call",
+          res["dispatch_overhead_ms_per_call"], flush=True)
 
     OUT.write_text(json.dumps(res, indent=1))
     print(json.dumps(res, indent=1))
