@@ -1077,14 +1077,17 @@ def eva_vos_round_rate(engine, images01, gt, controller, rounds: int = 6):
                                        jnp.zeros((t, 224, 224, 3))))
     jax.block_until_ready(rl_fwd(jnp.zeros(emb_shape),
                                  jnp.zeros((1, 224, 224, 3))))
-    # one untimed policy round: compiles the round's remaining graphs
-    # (non-donating interact, device-batched metric eval, mask->224 resize,
-    # farthest-point selection) that the headline/interactive sections do
-    # not exercise — r4_bench_full4's timed rounds 1-3 hid these compiles
+    # untimed policy rounds covering BOTH action paths: round 1 is the gt
+    # bootstrap, rounds 2-3 hit 'mask' and '3clicks' through the alternating
+    # chooser — so the click path's first-use graphs (per-frame ViT-H encode
+    # wrapper, warm-start chain, fused click rounds, mask->224 resize)
+    # compile OUTSIDE the timed window.  The r5 run that warmed only one
+    # round recorded 0.253 rounds/sec because the first timed 3clicks round
+    # carried ~10 s of these compiles.
     t0 = time.perf_counter()
-    eva_vos(qnet_extract, rl_act, 1, engine, sample, annotator,
+    eva_vos(qnet_extract, rl_act, 3, engine, sample, annotator,
             annotation_types=("3clicks", "mask"), eval_metric="j")
-    print(f"[bench] eva_vos warm-up round (compiles) "
+    print(f"[bench] eva_vos warm-up rounds (compiles) "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # MARGINAL round rate: every eva_vos call pays a per-VIDEO setup inside
